@@ -1,0 +1,143 @@
+"""Multi-head attention primitives (XLA path).
+
+Semantics match ``torch.nn.MultiheadAttention`` (the building block of the
+reference's decoder, reference decoder.py:112-120): per-head scaled dot
+product with additive masks, dropout on attention probabilities, linear
+output projection.
+
+TPU-first notes:
+- Q/K/V projections are stored as (D, D) matrices in (in, out) layout so the
+  matmuls map directly onto the MXU without transposes; the torch-weight
+  converter (models/decoder.py) handles the packed-in-proj split/transpose.
+- The single-key cross-attention case (CLS-only memory, the reference's
+  training configuration — reference model.py:147-152) degenerates
+  algebraically: softmax over one key is 1, so attention output is
+  ``out_proj(v)`` independent of the queries. ``single_key_cross_attention``
+  exploits that, skipping the Q/K projections and the softmax entirely.
+- A Pallas fused kernel handles the self-attention hot path on TPU
+  (mit_tpu/ops/pallas_attention.py); this module is the reference XLA
+  implementation and the CPU/interpret fallback.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """(B, T, D) -> (B, H, T, D/H)."""
+    b, t, d = x.shape
+    return x.reshape(b, t, num_heads, d // num_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, T, hd) -> (B, T, D)."""
+    b, h, t, hd = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * hd)
+
+
+def multihead_attention(
+    params: dict,
+    q_in: jnp.ndarray,
+    kv_in: jnp.ndarray,
+    num_heads: int,
+    mask: Optional[jnp.ndarray] = None,
+    dropout_rate: float = 0.0,
+    rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """torch-semantics multi-head attention.
+
+    params: {wq, wk, wv, wo: (D, D) in (in, out) layout; bq, bk, bv, bo: (D,)}
+    q_in: (B, T, D) queries source; kv_in: (B, S, D) keys/values source.
+    mask: additive, broadcastable to (B, H, T, S) (0 = keep, -1e9 = block).
+    """
+    d = q_in.shape[-1]
+    hd = d // num_heads
+    cd = compute_dtype
+
+    q = (q_in.astype(cd) @ params["wq"].astype(cd)) + params["bq"].astype(cd)
+    k = (kv_in.astype(cd) @ params["wk"].astype(cd)) + params["bk"].astype(cd)
+    v = (kv_in.astype(cd) @ params["wv"].astype(cd)) + params["bv"].astype(cd)
+
+    qh = _split_heads(q, num_heads)  # (B, H, T, hd)
+    kh = _split_heads(k, num_heads)  # (B, H, S, hd)
+    vh = _split_heads(v, num_heads)
+
+    scores = jnp.einsum(
+        "bhtd,bhsd->bhts", qh, kh, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(jnp.float32(hd))
+    if mask is not None:
+        scores = scores + mask.astype(scores.dtype)
+    probs = jax.nn.softmax(scores, axis=-1)
+
+    if dropout_rate > 0.0 and not deterministic:
+        keep = jax.random.bernoulli(rng, 1.0 - dropout_rate, probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+
+    ctx = jnp.einsum(
+        "bhts,bhsd->bhtd",
+        probs.astype(cd),
+        vh,
+        preferred_element_type=jnp.float32,
+    ).astype(cd)
+    out = _merge_heads(ctx)
+    return (out @ params["wo"].astype(cd)) + params["bo"].astype(cd)
+
+
+def single_key_cross_attention(
+    params: dict,
+    q_len: int,
+    kv_in: jnp.ndarray,
+    num_heads: int,
+    dropout_rate: float = 0.0,
+    rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Cross-attention fast path for memory of length 1 (CLS-only mode).
+
+    softmax over a single key is identically 1, so for every query position
+    the attention context is just that key's value vector:
+        out = out_proj(v_proj(memory))            (broadcast over T)
+    Q/K projections and the (B, H, T, 1) softmax vanish — this removes the
+    whole cross-attention score pipeline from the reference's hot loop
+    (reference model.py:147-158 feeds exactly this shape).
+
+    Attention-prob dropout (torch applies it even to the single-key row,
+    zeroing whole rows with prob p) is reproduced with a (B, H, T, 1)
+    Bernoulli mask so training statistics match the general path.
+
+    kv_in: (B, 1, D). Returns (B, q_len, D).
+    """
+    cd = compute_dtype
+    b, s, d = kv_in.shape
+    assert s == 1, "single_key_cross_attention requires memory length 1"
+    hd = d // num_heads
+
+    v = (kv_in.astype(cd) @ params["wv"].astype(cd)) + params["bv"].astype(cd)
+    # (B, 1, D) -> per-head (B, H, 1, hd), broadcast to every query position.
+    vh = v.reshape(b, 1, num_heads, hd).transpose(0, 2, 1, 3)
+    ctx = jnp.broadcast_to(vh, (b, num_heads, q_len, hd))
+
+    if dropout_rate > 0.0 and not deterministic:
+        keep = jax.random.bernoulli(
+            rng, 1.0 - dropout_rate, (b, num_heads, q_len, 1)
+        )
+        ctx = jnp.where(keep, ctx / (1.0 - dropout_rate), 0.0)
+
+    out = _merge_heads(ctx)
+    return (out @ params["wo"].astype(cd)) + params["bo"].astype(cd)
+
+
+def layer_norm(params: dict, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """LayerNorm matching torch defaults (eps=1e-5), computed in fp32."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * params["scale"] + params["bias"]).astype(x.dtype)
