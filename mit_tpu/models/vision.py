@@ -1,0 +1,369 @@
+"""Frozen vision encoders: ViT / CLIP-vision / BLIP-vision, TPU-native.
+
+Replaces the reference's use of HF torch models as frozen feature extractors
+(reference model.py:32-66 — name-substring dispatch to
+``BlipForConditionalGeneration.vision_model`` / ``AutoModel`` /
+``.vision_model``; reference encoder.py:20-63) with a single generic pre-LN
+ViT implemented as pure JAX functions:
+
+- patch embedding is a *matmul* over unfolded patches, not a convolution —
+  identical math, but lands directly on the MXU as one large GEMM
+  (the conv weight is flattened at conversion time);
+- layer stack traversed with ``lax.scan`` (stacked params, one compiled body);
+- family differences are data, not code: pre/post layer-norm placement,
+  activation (gelu vs quick_gelu), patch-projection bias, layer-norm eps.
+
+Numerical parity with the HF torch implementations is tested by constructing
+small random HF models and comparing ``last_hidden_state``
+(tests/test_vision_parity.py); real pretrained weights load through the same
+converters from safetensors/torch state dicts.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mit_tpu.ops.attention import layer_norm, multihead_attention
+
+
+class VisionConfig(NamedTuple):
+    """Generic pre-LN ViT family config.
+
+    ``family`` selects HF-compat behaviors:
+      vit  — final LN over all tokens (ViTModel.layernorm), eps 1e-12
+      clip — LN right after embeddings (pre_layrnorm); last_hidden_state is
+             the raw encoder output (post_layernorm only affects pooling)
+      blip — final LN over all tokens (post_layernorm)
+    """
+
+    family: str = "vit"
+    image_size: int = 224
+    patch_size: int = 16
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    hidden_act: str = "gelu"          # "gelu" (erf) | "quick_gelu"
+    layer_norm_eps: float = 1e-12
+    patch_bias: bool = True
+    ln_pre: bool = False              # CLIP's pre_layrnorm
+    ln_post: bool = True              # ViT/BLIP final LN over all tokens
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+    @property
+    def seq_len(self) -> int:
+        return self.num_patches + 1
+
+
+# ----------------------------------------------------------------------
+# Presets for the encoder names the reference config offers
+# (reference config.py:41-43). Shapes from the published HF configs.
+# ----------------------------------------------------------------------
+PRESETS = {
+    "google/vit-base-patch16-224-in21k": VisionConfig(
+        family="vit", image_size=224, patch_size=16, hidden_size=768,
+        num_layers=12, num_heads=12, intermediate_size=3072,
+        hidden_act="gelu", layer_norm_eps=1e-12,
+        patch_bias=True, ln_pre=False, ln_post=True,
+    ),
+    "openai/clip-vit-base-patch32": VisionConfig(
+        family="clip", image_size=224, patch_size=32, hidden_size=768,
+        num_layers=12, num_heads=12, intermediate_size=3072,
+        hidden_act="quick_gelu", layer_norm_eps=1e-5,
+        patch_bias=False, ln_pre=True, ln_post=False,
+    ),
+    "openai/clip-vit-large-patch14": VisionConfig(
+        family="clip", image_size=224, patch_size=14, hidden_size=1024,
+        num_layers=24, num_heads=16, intermediate_size=4096,
+        hidden_act="quick_gelu", layer_norm_eps=1e-5,
+        patch_bias=False, ln_pre=True, ln_post=False,
+    ),
+    "Salesforce/blip-image-captioning-base": VisionConfig(
+        family="blip", image_size=384, patch_size=16, hidden_size=768,
+        num_layers=12, num_heads=12, intermediate_size=3072,
+        hidden_act="gelu", layer_norm_eps=1e-5,
+        patch_bias=True, ln_pre=False, ln_post=True,
+    ),
+}
+
+
+def config_for_encoder(name: str) -> VisionConfig:
+    """Name-substring dispatch, mirroring reference model.py:34-55.
+
+    Exact preset names win; otherwise "blip" / "clip" / fallback "vit"
+    substring rules pick the family with default ViT-Base geometry.
+    """
+    if name in PRESETS:
+        return PRESETS[name]
+    low = name.lower()
+    if "blip" in low:
+        return PRESETS["Salesforce/blip-image-captioning-base"]
+    if "clip" in low:
+        return PRESETS["openai/clip-vit-base-patch32"]
+    return PRESETS["google/vit-base-patch16-224-in21k"]
+
+
+# ----------------------------------------------------------------------
+# Init (random weights; pretrained paths go through the converters below)
+# ----------------------------------------------------------------------
+def init_vision_params(key: jax.Array, cfg: VisionConfig) -> dict:
+    d, f, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
+    pdim = cfg.patch_size * cfg.patch_size * 3
+    ks = iter(jax.random.split(key, 16))
+    init = lambda k, shape: jax.random.normal(k, shape) * 0.02
+    ln = lambda: {"scale": jnp.ones((L, d)), "bias": jnp.zeros((L, d))}
+    params = {
+        "patch_w": init(next(ks), (pdim, d)),
+        "patch_b": jnp.zeros((d,)),
+        "cls": init(next(ks), (d,)),
+        "pos": init(next(ks), (cfg.seq_len, d)),
+        "layers": {
+            "attn": {
+                "wq": init(next(ks), (L, d, d)),
+                "wk": init(next(ks), (L, d, d)),
+                "wv": init(next(ks), (L, d, d)),
+                "wo": init(next(ks), (L, d, d)),
+                "bq": jnp.zeros((L, d)), "bk": jnp.zeros((L, d)),
+                "bv": jnp.zeros((L, d)), "bo": jnp.zeros((L, d)),
+            },
+            "ln1": ln(), "ln2": ln(),
+            "fc1": init(next(ks), (L, d, f)), "b1": jnp.zeros((L, f)),
+            "fc2": init(next(ks), (L, f, d)), "b2": jnp.zeros((L, d)),
+        },
+    }
+    if cfg.ln_pre:
+        params["ln_pre"] = {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))}
+    if cfg.ln_post:
+        params["ln_post"] = {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))}
+    return params
+
+
+# ----------------------------------------------------------------------
+# Forward
+# ----------------------------------------------------------------------
+def _quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def _patchify(pixel_values: jnp.ndarray, patch: int) -> jnp.ndarray:
+    """(B, 3, H, W) NCHW → (B, N, patch*patch*3) with conv-flatten ordering.
+
+    Ordering matches torch Conv2d weight flattening (C, kH, kW) and row-major
+    patch-grid traversal, so the matmul equals the reference's strided conv.
+    """
+    b, c, h, w = pixel_values.shape
+    gh, gw = h // patch, w // patch
+    x = pixel_values.reshape(b, c, gh, patch, gw, patch)
+    x = x.transpose(0, 2, 4, 1, 3, 5)       # (B, gh, gw, C, p, p)
+    return x.reshape(b, gh * gw, c * patch * patch)
+
+
+def vision_forward(
+    params: dict,
+    cfg: VisionConfig,
+    pixel_values: jnp.ndarray,            # (B, 3, H, W) fp32, NCHW (HF layout)
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Returns last_hidden_state (B, N+1, D), matching the HF family model.
+
+    Equivalent of the frozen-encoder forward the reference calls under
+    ``torch.no_grad()`` (reference model.py:133-141, encoder.py:65-110).
+    """
+    cd = compute_dtype
+    eps = cfg.layer_norm_eps
+    b = pixel_values.shape[0]
+    d = cfg.hidden_size
+
+    patches = _patchify(pixel_values.astype(cd), cfg.patch_size)
+    x = patches @ params["patch_w"].astype(cd)
+    if cfg.patch_bias:
+        x = x + params["patch_b"].astype(cd)
+    cls = jnp.broadcast_to(params["cls"].astype(cd), (b, 1, d))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["pos"].astype(cd)[None, :, :]
+    if cfg.ln_pre:
+        x = layer_norm(params["ln_pre"], x, eps)
+
+    act = _quick_gelu if cfg.hidden_act == "quick_gelu" else jax.nn.gelu
+    # jax.nn.gelu(approximate=False) is the erf gelu HF "gelu" uses.
+    exact = cfg.hidden_act != "quick_gelu"
+
+    def body(x, layer):
+        h = layer_norm(layer["ln1"], x, eps)
+        a = multihead_attention(
+            layer["attn"], h, h, cfg.num_heads, compute_dtype=cd
+        )
+        x = x + a
+        h = layer_norm(layer["ln2"], x, eps)
+        h = h @ layer["fc1"].astype(cd) + layer["b1"].astype(cd)
+        h = jax.nn.gelu(h, approximate=False) if exact else act(h)
+        h = h @ layer["fc2"].astype(cd) + layer["b2"].astype(cd)
+        return x + h, None
+
+    x, _ = jax.lax.scan(body, x, params["layers"])
+
+    if cfg.ln_post:
+        x = layer_norm(params["ln_post"], x, eps)
+    return x
+
+
+# ----------------------------------------------------------------------
+# HF weight conversion (torch/safetensors state dicts → our pytree)
+# ----------------------------------------------------------------------
+def _np(a):
+    if hasattr(a, "detach"):
+        a = a.detach().cpu().numpy()
+    return np.asarray(a, dtype=np.float32)
+
+
+def params_from_hf_vision(sd: dict, cfg: VisionConfig, prefix: str = "") -> dict:
+    """Convert an HF vision state dict (any of the three families).
+
+    ``prefix`` strips container nesting, e.g. ``"vision_model."`` for
+    CLIPVisionModel or for the vision tower sliced out of a full CLIP/BLIP
+    checkpoint (the reference takes ``.vision_model`` the same way,
+    model.py:38,53).
+    """
+    g = lambda n: _np(sd[prefix + n])
+    L, d = cfg.num_layers, cfg.hidden_size
+
+    if cfg.family == "vit":
+        conv_w = g("embeddings.patch_embeddings.projection.weight")
+        patch_b = g("embeddings.patch_embeddings.projection.bias")
+        cls = g("embeddings.cls_token").reshape(d)
+        pos = g("embeddings.position_embeddings").reshape(-1, d)
+        lyr = "encoder.layer.{i}."
+        names = {
+            "q": lyr + "attention.attention.query",
+            "k": lyr + "attention.attention.key",
+            "v": lyr + "attention.attention.value",
+            "o": lyr + "attention.output.dense",
+            "ln1": lyr + "layernorm_before",
+            "ln2": lyr + "layernorm_after",
+            "fc1": lyr + "intermediate.dense",
+            "fc2": lyr + "output.dense",
+        }
+        ln_post = "layernorm"
+    else:  # clip / blip share the CLIP-style encoder naming
+        if cfg.family == "clip":
+            conv_w = g("embeddings.patch_embedding.weight")
+            patch_b = np.zeros((d,), np.float32)
+            cls = g("embeddings.class_embedding").reshape(d)
+            pos = g("embeddings.position_embedding.weight")
+        else:  # blip
+            conv_w = g("embeddings.patch_embedding.weight")
+            patch_b = g("embeddings.patch_embedding.bias")
+            cls = g("embeddings.class_embedding").reshape(d)
+            pos = g("embeddings.position_embedding").reshape(-1, d)
+        lyr = "encoder.layers.{i}."
+        names = {
+            "q": lyr + "self_attn.q_proj",
+            "k": lyr + "self_attn.k_proj",
+            "v": lyr + "self_attn.v_proj",
+            "o": lyr + "self_attn.out_proj",
+            "ln1": lyr + "layer_norm1",
+            "ln2": lyr + "layer_norm2",
+            "fc1": lyr + "mlp.fc1",
+            "fc2": lyr + "mlp.fc2",
+        }
+        ln_post = "post_layernorm"
+
+    def per_layer(fmt, kind):
+        if kind == "w":
+            return jnp.asarray(
+                np.stack([g(fmt.format(i=i) + ".weight").T for i in range(L)])
+            )
+        return jnp.asarray(
+            np.stack([g(fmt.format(i=i) + ".bias") for i in range(L)])
+        )
+
+    def per_layer_ln(fmt):
+        return {
+            "scale": jnp.asarray(
+                np.stack([g(fmt.format(i=i) + ".weight") for i in range(L)])
+            ),
+            "bias": jnp.asarray(
+                np.stack([g(fmt.format(i=i) + ".bias") for i in range(L)])
+            ),
+        }
+
+    # BLIP packs q/k/v into one (3D, D) "qkv" matrix.
+    if cfg.family == "blip":
+        qkv_w = np.stack(
+            [g(f"encoder.layers.{i}.self_attn.qkv.weight") for i in range(L)]
+        )
+        qkv_b = np.stack(
+            [g(f"encoder.layers.{i}.self_attn.qkv.bias") for i in range(L)]
+        )
+        wq, wk, wv = np.split(qkv_w, 3, axis=1)   # rows are [q; k; v]
+        bq, bk, bv = np.split(qkv_b, 3, axis=1)
+        attn = {
+            "wq": jnp.asarray(np.swapaxes(wq, 1, 2)),
+            "wk": jnp.asarray(np.swapaxes(wk, 1, 2)),
+            "wv": jnp.asarray(np.swapaxes(wv, 1, 2)),
+            "wo": per_layer("encoder.layers.{i}.self_attn.projection", "w"),
+            "bq": jnp.asarray(bq), "bk": jnp.asarray(bk), "bv": jnp.asarray(bv),
+            "bo": per_layer("encoder.layers.{i}.self_attn.projection", "b"),
+        }
+    else:
+        attn = {
+            "wq": per_layer(names["q"], "w"), "bq": per_layer(names["q"], "b"),
+            "wk": per_layer(names["k"], "w"), "bk": per_layer(names["k"], "b"),
+            "wv": per_layer(names["v"], "w"), "bv": per_layer(names["v"], "b"),
+            "wo": per_layer(names["o"], "w"), "bo": per_layer(names["o"], "b"),
+        }
+
+    params = {
+        # torch conv weight (D, C, p, p) → flatten (C,p,p) → (C*p*p, D)
+        "patch_w": jnp.asarray(conv_w.reshape(d, -1).T),
+        "patch_b": jnp.asarray(patch_b),
+        "cls": jnp.asarray(cls),
+        "pos": jnp.asarray(pos),
+        "layers": {
+            "attn": attn,
+            "ln1": per_layer_ln(names["ln1"]),
+            "ln2": per_layer_ln(names["ln2"]),
+            "fc1": per_layer(names["fc1"], "w"), "b1": per_layer(names["fc1"], "b"),
+            "fc2": per_layer(names["fc2"], "w"), "b2": per_layer(names["fc2"], "b"),
+        },
+    }
+    if cfg.ln_pre:
+        params["ln_pre"] = {
+            "scale": jnp.asarray(g("pre_layrnorm.weight")),
+            "bias": jnp.asarray(g("pre_layrnorm.bias")),
+        }
+    if cfg.ln_post:
+        params["ln_post"] = {
+            "scale": jnp.asarray(g(ln_post + ".weight")),
+            "bias": jnp.asarray(g(ln_post + ".bias")),
+        }
+    return params
+
+
+def detect_hf_prefix(sd: dict, cfg: VisionConfig) -> str:
+    """Find the key prefix of the vision tower inside a state dict.
+
+    Handles: bare vision model, ``vision_model.`` nesting (CLIPVisionModel /
+    full CLIP / BLIP checkpoints), and the reference's combined-model export
+    where the tower sits under ``encoder.`` (reference model.py:38,53).
+    """
+    probe = (
+        "embeddings.patch_embeddings.projection.weight"
+        if cfg.family == "vit"
+        else "embeddings.patch_embedding.weight"
+    )
+    for prefix in ("", "vision_model.", "encoder.", "encoder.vision_model."):
+        if prefix + probe in sd:
+            return prefix
+    raise KeyError(
+        f"Could not locate a {cfg.family} vision tower in state dict "
+        f"(looked for '*{probe}')."
+    )
