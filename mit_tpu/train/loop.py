@@ -1,0 +1,275 @@
+"""Training orchestration — the equivalent of reference train.py:153-490.
+
+Same flow, TPU-native internals:
+  auto-prepare dataset → seed → wandb → (train tokenizer iff missing) →
+  load tokenizer, derive special IDs + actual vocab size → dataset/split →
+  model init (or resume) → [optional frozen-feature cache] → epoch loop with
+  periodic validation, best-val checkpointing (orbax state + reference-layout
+  safetensors) and optional HF Hub upload.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mit_tpu.config import CONFIG, Config
+from mit_tpu.data.dataset import ImageTextDataset, Loader, split_indices
+from mit_tpu.data.prepare import prepare_flickr30k
+from mit_tpu.models.model import ModelConfig, init_model_params, split_trainable
+from mit_tpu.text.tokenizer import get_tokenizer, train_tokenizer
+from mit_tpu.train import checkpoint as ckpt
+from mit_tpu.train.features import FeatureCache, attach_features
+from mit_tpu.train.steps import (
+    init_train_state,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
+
+
+# ----------------------------------------------------------------------
+def setup_wandb(cfg: Config):
+    """Initialize wandb (reference train.py:23-60); returns None when
+    unavailable — training proceeds with console logging only."""
+    try:
+        import wandb
+
+        run = wandb.init(
+            project=cfg.WANDB_PROJECT,
+            entity=cfg.WANDB_ENTITY,
+            name=cfg.WANDB_RUN_NAME,
+            mode=os.environ.get("WANDB_MODE", "offline"),
+            config={
+                "encoder_model": cfg.ENCODER_MODEL_NAME,
+                "decoder_layers": cfg.DECODER_LAYERS,
+                "decoder_heads": cfg.DECODER_HEADS,
+                "decoder_ff_dim": cfg.DECODER_FF_DIM,
+                "embedding_dim": cfg.DECODER_EMBED_DIM,
+                "max_seq_len": cfg.MAX_SEQ_LEN,
+                "dropout": cfg.DECODER_DROPOUT,
+                "learning_rate": cfg.LEARNING_RATE,
+                "epochs": cfg.NUM_EPOCHS,
+                "batch_size": cfg.BATCH_SIZE,
+                "vocab_size": cfg.VOCAB_SIZE,
+                "warmup_steps": cfg.WARMUP_STEPS,
+                "adam_beta1": cfg.ADAM_BETA1,
+                "adam_beta2": cfg.ADAM_BETA2,
+                "adam_eps": cfg.ADAM_EPS,
+                "weight_decay": cfg.WEIGHT_DECAY,
+                "grad_clip": cfg.GRAD_CLIP_VALUE,
+                "projection_dim": cfg.PROJECTION_DIM,
+                "compute_dtype": cfg.COMPUTE_DTYPE,
+                "mesh_shape": list(cfg.MESH_SHAPE),
+                "cache_encoder_features": cfg.CACHE_ENCODER_FEATURES,
+            },
+        )
+        return run
+    except Exception as e:
+        print(f"wandb unavailable ({e}); continuing without experiment tracking.")
+        return None
+
+
+def ensure_tokenizer(cfg: Config):
+    """Train the BPE tokenizer from all captions iff files are missing
+    (reference train.py:189-233), then load it."""
+    if not (os.path.exists(cfg.VOCAB_PATH) and os.path.exists(cfg.MERGES_PATH)):
+        print("Tokenizer files missing — training from captions ...")
+        with open(cfg.CAPTIONS_FILE, "r", encoding="utf-8") as f:
+            captions_data = json.load(f)
+        all_captions = []
+        if isinstance(captions_data, dict):
+            for v in captions_data.values():
+                if isinstance(v, list):
+                    all_captions.extend(c for c in v if isinstance(c, str))
+                elif isinstance(v, str):
+                    all_captions.append(v)
+        if not all_captions:
+            raise ValueError(
+                f"No caption strings found in {cfg.CAPTIONS_FILE}; "
+                "cannot train tokenizer."
+            )
+        train_tokenizer(
+            iter(all_captions), cfg.VOCAB_SIZE, cfg.VOCAB_PATH, cfg.MERGES_PATH, cfg
+        )
+    return get_tokenizer(cfg, force_reload=True)
+
+
+# ----------------------------------------------------------------------
+def train(
+    cfg: Config = CONFIG,
+    auto_prepare: bool = True,
+    wandb_enabled: bool = True,
+    hf_upload=None,                     # callable(path, name) or None
+    max_steps_per_epoch: Optional[int] = None,   # for smoke tests
+) -> Dict:
+    """Run the full training job; returns a summary dict."""
+    t_setup = time.time()
+    if auto_prepare:
+        prepare_flickr30k(cfg)
+    os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
+
+    rng = jax.random.PRNGKey(cfg.RANDOM_SEED)
+    np.random.seed(cfg.RANDOM_SEED)
+
+    wandb_run = setup_wandb(cfg) if wandb_enabled else None
+    log = (lambda d: wandb_run.log(d)) if wandb_run else (lambda d: None)
+
+    tokenizer = ensure_tokenizer(cfg)
+    cfg = cfg.with_tokenizer_ids(tokenizer)
+    actual_vocab_size = tokenizer.get_vocab_size()
+    print(f"Tokenizer loaded; vocab size {actual_vocab_size}.")
+
+    dataset = ImageTextDataset(
+        cfg.IMAGE_DIR, cfg.CAPTIONS_FILE, cfg.MAX_SEQ_LEN, tokenizer,
+        cfg.ENCODER_MODEL_NAME,
+    )
+    if len(dataset) == 0:
+        raise ValueError("Dataset is empty — check IMAGE_DIR and CAPTIONS_FILE.")
+    tr_idx, va_idx = split_indices(
+        len(dataset), cfg.TRAIN_SPLIT_RATIO, cfg.RANDOM_SEED
+    )
+    print(f"Dataset split: {len(tr_idx)} train / {len(va_idx)} val samples.")
+    train_loader = Loader(
+        dataset, tr_idx, cfg.BATCH_SIZE, shuffle=True,
+        seed=cfg.RANDOM_SEED, num_workers=cfg.NUM_WORKERS,
+    )
+    val_loader = Loader(
+        dataset, va_idx, cfg.BATCH_SIZE, shuffle=False,
+        num_workers=cfg.NUM_WORKERS,
+    )
+
+    mcfg = ModelConfig.build(cfg, vocab_size=actual_vocab_size)
+    rng, k_init = jax.random.split(rng)
+    params = init_model_params(k_init, mcfg)
+    trainable, frozen = split_trainable(params)
+
+    steps_per_epoch = len(train_loader)
+    optimizer, _ = make_optimizer(cfg, steps_per_epoch)
+    state = init_train_state(trainable, optimizer)
+
+    # --- frozen-feature cache (encoder leaves the train step entirely) ---
+    use_cache = cfg.CACHE_ENCODER_FEATURES and cfg.MEMORY_MODE == "cls"
+    cache = None
+    if use_cache:
+        print("Building frozen-encoder feature cache ...")
+        cache = FeatureCache.build(
+            dataset, frozen["encoder"], mcfg,
+            batch_size=min(cfg.BATCH_SIZE, 64), num_workers=cfg.NUM_WORKERS,
+        )
+        print(f"Feature cache: {cache.features.shape}, "
+              f"{cache.nbytes / 1e6:.1f} MB")
+
+    compute_dtype = jnp.bfloat16 if cfg.COMPUTE_DTYPE == "bfloat16" else jnp.float32
+    train_step = make_train_step(
+        mcfg, optimizer, cfg.PAD_TOKEN_ID, compute_dtype, from_features=use_cache
+    )
+    eval_step = make_eval_step(
+        mcfg, cfg.PAD_TOKEN_ID, compute_dtype, from_features=use_cache
+    )
+    step_frozen = {} if use_cache else frozen
+
+    # --- resume (reference train.py:343-375) ---
+    start_epoch, best_val_loss = 0, float("inf")
+    if cfg.RESUME_CHECKPOINT_PATH:
+        try:
+            state, start_epoch, best_val_loss = ckpt.restore_train_state(
+                cfg.RESUME_CHECKPOINT_PATH, state
+            )
+            print(f"Resumed from {cfg.RESUME_CHECKPOINT_PATH}; "
+                  f"starting at epoch {start_epoch + 1}.")
+        except Exception as e:
+            print(f"Error loading checkpoint: {e}. Starting from scratch.")
+            start_epoch, best_val_loss = 0, float("inf")
+
+    print(f"Setup done in {time.time() - t_setup:.1f}s; training "
+          f"epochs {start_epoch + 1}..{cfg.NUM_EPOCHS}.")
+    rng, step_rng = jax.random.split(rng)
+    summary = {"epochs": [], "best_val_loss": best_val_loss, "best_checkpoint": None}
+
+    for epoch in range(start_epoch, cfg.NUM_EPOCHS):
+        t0 = time.time()
+        total_loss, n_batches = 0.0, 0
+        for i, batch in enumerate(train_loader):
+            if max_steps_per_epoch and i >= max_steps_per_epoch:
+                break
+            batch = attach_features(batch, cache)
+            arrays = {
+                k: jnp.asarray(v)
+                for k, v in batch.items()
+                if k in ("images", "features", "decoder_input_tokens", "target_tokens")
+            }
+            state, loss = train_step(state, step_frozen, arrays, step_rng)
+            loss = float(loss)
+            total_loss += loss
+            n_batches += 1
+            gstep = int(state.step)
+            if gstep % cfg.LOG_INTERVAL == 0:
+                log({"train_batch_loss": loss, "global_step": gstep})
+        train_loss = total_loss / max(1, n_batches)
+        dur = time.time() - t0
+        sps = n_batches / max(dur, 1e-9)
+        print(f"Epoch {epoch + 1}/{cfg.NUM_EPOCHS} | Train loss {train_loss:.4f} "
+              f"| {dur:.1f}s ({sps:.2f} steps/s)")
+        log({"epoch_train_loss": train_loss, "epoch": epoch + 1,
+             "epoch_duration_seconds": dur})
+
+        epoch_summary = {"epoch": epoch + 1, "train_loss": train_loss}
+
+        if (epoch + 1) % cfg.VALIDATION_INTERVAL == 0 and len(va_idx) > 0:
+            tv = time.time()
+            nll_sum, tok_sum = 0.0, 0.0
+            for i, batch in enumerate(val_loader):
+                if max_steps_per_epoch and i >= max_steps_per_epoch:
+                    break
+                batch = attach_features(batch, cache)
+                arrays = {
+                    k: jnp.asarray(v)
+                    for k, v in batch.items()
+                    if k in ("images", "features", "decoder_input_tokens",
+                             "target_tokens")
+                }
+                merged = {**state.params, **step_frozen}
+                s, c = eval_step(merged, arrays)
+                nll_sum += float(s)
+                tok_sum += float(c)
+            val_loss = nll_sum / max(1.0, tok_sum)
+            print(f"Epoch {epoch + 1} | Val loss {val_loss:.4f} "
+                  f"| {time.time() - tv:.1f}s")
+            log({"epoch_val_loss": val_loss, "epoch": epoch + 1})
+            epoch_summary["val_loss"] = val_loss
+
+            # best-val checkpointing (reference train.py:412-455)
+            if val_loss < best_val_loss:
+                best_val_loss = val_loss
+                name = ckpt.checkpoint_filename(cfg, epoch, val_loss)
+                st_path = os.path.join(cfg.OUTPUT_DIR, name + ".safetensors")
+                full_params = {**state.params, **frozen}
+                ckpt.save_safetensors(st_path, full_params, mcfg)
+                ckpt.save_train_state(
+                    os.path.join(cfg.OUTPUT_DIR, "latest"), state, epoch,
+                    best_val_loss, cfg,
+                )
+                print(f"Checkpoint saved: {st_path} (val loss {val_loss:.4f})")
+                summary["best_checkpoint"] = st_path
+                if hf_upload and cfg.HF_UPLOAD_BEST_CHECKPOINTS:
+                    try:
+                        hf_upload(st_path, os.path.basename(st_path))
+                    except Exception as e:
+                        print(f"HF upload failed (continuing): {e}")
+            else:
+                print(f"Val loss {val_loss:.4f} did not improve on "
+                      f"{best_val_loss:.4f}; not saving.")
+
+        summary["epochs"].append(epoch_summary)
+
+    summary["best_val_loss"] = best_val_loss
+    if wandb_run:
+        wandb_run.finish()
+    return summary

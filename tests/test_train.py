@@ -1,0 +1,268 @@
+"""Training subsystem tests: loss, optimizer parity, steps, checkpoints,
+resume, and a tiny end-to-end training run."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from mit_tpu.config import Config
+from mit_tpu.models.decoder import DecoderConfig
+from mit_tpu.models.model import ModelConfig, init_model_params, split_trainable
+from mit_tpu.models.vision import VisionConfig
+from mit_tpu.train import checkpoint as ckpt
+from mit_tpu.train.steps import (
+    TrainState,
+    init_train_state,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+    masked_cross_entropy,
+)
+
+TINY_VISION = VisionConfig(
+    family="vit", image_size=32, patch_size=16, hidden_size=48,
+    num_layers=1, num_heads=2, intermediate_size=64,
+    hidden_act="gelu", layer_norm_eps=1e-12,
+    patch_bias=True, ln_pre=False, ln_post=True,
+)
+TINY_DECODER = DecoderConfig(
+    vocab_size=64, embed_dim=32, num_heads=2, num_layers=1,
+    ff_dim=48, max_seq_len=12, dropout=0.0, pad_idx=0,
+)
+MCFG = ModelConfig("tiny", TINY_VISION, TINY_DECODER, "cls")
+
+
+def _batch(b=4, t=11, seed=0):
+    r = np.random.default_rng(seed)
+    toks = r.integers(4, 64, (b, t + 1), dtype=np.int32)
+    toks[:, 0] = 2
+    toks[0, 6:] = 0
+    return {
+        "images": jnp.asarray(r.normal(size=(b, 3, 32, 32)), jnp.float32),
+        "decoder_input_tokens": jnp.asarray(toks[:, :-1]),
+        "target_tokens": jnp.asarray(toks[:, 1:]),
+    }
+
+
+def test_masked_ce_matches_torch_ignore_index():
+    import torch
+
+    r = np.random.default_rng(0)
+    logits = r.normal(size=(3, 7, 11)).astype(np.float32)
+    targets = r.integers(0, 11, (3, 7))
+    targets[0, 4:] = 0
+    ref = torch.nn.CrossEntropyLoss(ignore_index=0)(
+        torch.from_numpy(logits).view(-1, 11), torch.from_numpy(targets).reshape(-1)
+    ).item()
+    ours = float(masked_cross_entropy(jnp.asarray(logits), jnp.asarray(targets), 0))
+    assert abs(ours - ref) < 1e-5
+
+
+def test_optimizer_matches_torch_adamw():
+    """One AdamW step with clip on identical params/grads matches torch."""
+    import torch
+
+    cfg = Config(LEARNING_RATE=1e-3, WEIGHT_DECAY=0.01, GRAD_CLIP_VALUE=1.0,
+                 ADAM_BETA1=0.9, ADAM_BETA2=0.98, ADAM_EPS=1e-9)
+    w0 = np.random.default_rng(1).normal(size=(5, 3)).astype(np.float32)
+    g0 = np.random.default_rng(2).normal(size=(5, 3)).astype(np.float32)
+
+    tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    opt = torch.optim.AdamW([tw], lr=1e-3, betas=(0.9, 0.98), eps=1e-9,
+                            weight_decay=0.01)
+    tw.grad = torch.from_numpy(g0.copy())
+    torch.nn.utils.clip_grad_norm_([tw], 1.0)
+    opt.step()
+
+    optimizer, _ = make_optimizer(cfg)
+    params = {"w": jnp.asarray(w0)}
+    opt_state = optimizer.init(params)
+    updates, _ = optimizer.update({"w": jnp.asarray(g0)}, opt_state, params)
+    ours = np.asarray(params["w"] + updates["w"])
+    np.testing.assert_allclose(ours, tw.detach().numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_warmup_schedule_matches_reference_shape():
+    from transformers import get_linear_schedule_with_warmup
+    import torch
+
+    cfg = Config(WARMUP_STEPS=10, NUM_EPOCHS=2, LEARNING_RATE=1e-3)
+    _, schedule = make_optimizer(cfg, steps_per_epoch=25)  # total 50
+    p = torch.nn.Parameter(torch.zeros(1))
+    topt = torch.optim.AdamW([p], lr=1e-3)
+    tsch = get_linear_schedule_with_warmup(topt, 10, 50)
+    for step in range(50):
+        ref_lr = tsch.get_last_lr()[0]
+        ours = float(schedule(step))
+        assert abs(ours - ref_lr) < 1e-9, (step, ours, ref_lr)
+        topt.step()
+        tsch.step()
+
+
+@pytest.fixture(scope="module")
+def tiny_state():
+    params = init_model_params(jax.random.PRNGKey(0), MCFG)
+    trainable, frozen = split_trainable(params)
+    cfg = Config(GRAD_CLIP_VALUE=1.0, LEARNING_RATE=3e-3)
+    optimizer, _ = make_optimizer(cfg)
+    state = init_train_state(trainable, optimizer)
+    return cfg, optimizer, state, frozen
+
+
+def test_train_step_reduces_loss(tiny_state):
+    cfg, optimizer, state, frozen = tiny_state
+    step = make_train_step(MCFG, optimizer, pad_id=0,
+                           compute_dtype=jnp.float32, donate=False)
+    batch = _batch()
+    rng = jax.random.PRNGKey(0)
+    losses = []
+    for _ in range(20):
+        state, loss = step(state, frozen, batch, rng)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.7, losses[:3] + losses[-3:]
+    assert int(state.step) == 20
+
+
+def test_pad_embedding_row_frozen(tiny_state):
+    cfg, optimizer, state, frozen = tiny_state
+    step = make_train_step(MCFG, optimizer, pad_id=0,
+                           compute_dtype=jnp.float32, donate=False)
+    before = np.asarray(state.params["decoder"]["token_embedding"][0]).copy()
+    state2, _ = step(state, frozen, _batch(), jax.random.PRNGKey(0))
+    after = np.asarray(state2.params["decoder"]["token_embedding"][0])
+    np.testing.assert_array_equal(before, after)
+    # non-pad rows did change
+    assert not np.allclose(
+        np.asarray(state.params["decoder"]["token_embedding"][5]),
+        np.asarray(state2.params["decoder"]["token_embedding"][5]),
+    )
+
+
+def test_eval_step_token_weighted(tiny_state):
+    _, _, state, frozen = tiny_state
+    ev = make_eval_step(MCFG, pad_id=0, compute_dtype=jnp.float32)
+    merged = {**state.params, **frozen}
+    s, c = ev(merged, _batch())
+    toks = _batch()["target_tokens"]
+    assert int(c) == int((np.asarray(toks) != 0).sum())
+    assert np.isfinite(float(s))
+
+
+# ----------------------------------------------------------------------
+def test_safetensors_roundtrip(tmp_path, tiny_state):
+    _, _, state, frozen = tiny_state
+    params = {**state.params, **frozen}
+    path = str(tmp_path / "m.safetensors")
+    ckpt.save_safetensors(path, params, MCFG)
+    restored = ckpt.load_safetensors(path, MCFG)
+    flat1 = jax.tree_util.tree_leaves_with_path(params)
+    flat2 = dict(
+        (jax.tree_util.keystr(k), v)
+        for k, v in jax.tree_util.tree_leaves_with_path(restored)
+    )
+    for k, v in flat1:
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(flat2[jax.tree_util.keystr(k)]),
+            rtol=1e-6, atol=1e-6,
+        )
+
+
+def test_checkpoint_filename_roundtrip():
+    cfg = Config()
+    name = ckpt.checkpoint_filename(cfg, epoch=9, val_loss=2.5425)
+    assert "epoch_10" in name and "2.5425" in name
+    assert "/" not in name.replace(cfg.CHECKPOINT_PREFIX, "")
+    parsed = ckpt.parse_checkpoint_filename(name + ".safetensors")
+    assert parsed == (10, 2.5425)
+
+
+def test_train_state_save_restore(tmp_path, tiny_state):
+    cfg, optimizer, state, frozen = tiny_state
+    step = make_train_step(MCFG, optimizer, pad_id=0,
+                           compute_dtype=jnp.float32, donate=False)
+    state2, _ = step(state, frozen, _batch(), jax.random.PRNGKey(0))
+    d = str(tmp_path / "ck")
+    ckpt.save_train_state(d, state2, epoch=3, best_val_loss=1.23, cfg=Config())
+    template = init_train_state(state.params, optimizer)
+    restored, start_epoch, best = ckpt.restore_train_state(d, template)
+    assert start_epoch == 4 and abs(best - 1.23) < 1e-9
+    assert int(restored.step) == int(state2.step)
+    np.testing.assert_allclose(
+        np.asarray(restored.params["decoder"]["fc_out_w"]),
+        np.asarray(state2.params["decoder"]["fc_out_w"]),
+    )
+
+
+# ----------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def tiny_corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("traindata")
+    cfg = Config(
+        DATA_DIR=str(d) + "/", MAX_SEQ_LEN=16, VOCAB_SIZE=300,
+        BATCH_SIZE=4, NUM_EPOCHS=2, DECODER_EMBED_DIM=32, DECODER_LAYERS=1,
+        DECODER_HEADS=2, DECODER_FF_DIM=48, DECODER_DROPOUT=0.0,
+        LEARNING_RATE=3e-3, NUM_WORKERS=1, COMPUTE_DTYPE="float32",
+        ENCODER_MODEL_NAME="tiny/test-vit", IMAGE_PROCESSOR_NAME="tiny/test-vit",
+    )
+    os.makedirs(cfg.IMAGE_DIR)
+    caps = {}
+    for i in range(8):
+        name = f"im{i}.jpg"
+        Image.new("RGB", (40, 40), (i * 30 % 255, 60, 90)).save(
+            os.path.join(cfg.IMAGE_DIR, name)
+        )
+        caps[name] = [f"a photo number {i} with things", f"another view of item {i}"]
+    with open(cfg.CAPTIONS_FILE, "w") as f:
+        json.dump(caps, f)
+    return cfg
+
+
+def _tiny_train(cfg, monkeypatch, **kw):
+    # patch the vision preset so "tiny/test-vit" maps to a tiny tower
+    import mit_tpu.models.vision as vis
+
+    monkeypatch.setitem(vis.PRESETS, "tiny/test-vit", VisionConfig(
+        family="vit", image_size=224, patch_size=56, hidden_size=48,
+        num_layers=1, num_heads=2, intermediate_size=64,
+        hidden_act="gelu", layer_norm_eps=1e-12,
+        patch_bias=True, ln_pre=False, ln_post=True,
+    ))
+    from mit_tpu.train.loop import train
+
+    return train(cfg, auto_prepare=False, wandb_enabled=False, **kw)
+
+
+def test_end_to_end_training_with_feature_cache(tiny_corpus, monkeypatch):
+    cfg = tiny_corpus
+    summary = _tiny_train(cfg, monkeypatch)
+    assert len(summary["epochs"]) == 2
+    e1, e2 = summary["epochs"]
+    assert e2["train_loss"] < e1["train_loss"]
+    assert summary["best_checkpoint"] and os.path.exists(summary["best_checkpoint"])
+    # tokenizer files were auto-trained
+    assert os.path.exists(cfg.VOCAB_PATH) and os.path.exists(cfg.MERGES_PATH)
+
+
+def test_end_to_end_training_without_cache(tiny_corpus, monkeypatch):
+    cfg = tiny_corpus.replace(CACHE_ENCODER_FEATURES=False, NUM_EPOCHS=1)
+    summary = _tiny_train(cfg, monkeypatch)
+    assert len(summary["epochs"]) == 1
+    assert np.isfinite(summary["epochs"][0]["train_loss"])
+
+
+def test_resume_continues_from_checkpoint(tiny_corpus, monkeypatch):
+    cfg = tiny_corpus
+    resume_dir = os.path.join(cfg.OUTPUT_DIR, "latest")
+    assert os.path.isdir(resume_dir)  # written by the cached-training test
+    cfg2 = cfg.replace(RESUME_CHECKPOINT_PATH=resume_dir, NUM_EPOCHS=3)
+    summary = _tiny_train(cfg2, monkeypatch)
+    # resume starts after the best-val epoch recorded in the checkpoint
+    # (reference train.py:356: start_epoch = checkpoint['epoch'] + 1)
+    epochs = [e["epoch"] for e in summary["epochs"]]
+    assert epochs[0] > 1, "resume must not restart from epoch 1"
+    assert epochs[-1] == 3
