@@ -67,8 +67,13 @@ class HostPreprocessor:
     ``__call__(pil_image) -> np.float32 (3, H, W)`` (NCHW like HF).
     """
 
-    def __init__(self, encoder_name: str):
+    def __init__(self, encoder_name: str, image_size: int = None):
+        """``image_size`` overrides the recipe's target square side — pass the
+        vision tower's actual input size when it differs from the family
+        default (e.g. reduced test models)."""
         self.spec = spec_for_encoder(encoder_name)
+        if image_size is not None and image_size != self.spec.target[0]:
+            self.spec = self.spec._replace(target=(image_size, image_size))
 
     def __call__(self, image) -> np.ndarray:
         from PIL import Image

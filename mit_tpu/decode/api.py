@@ -1,0 +1,184 @@
+"""High-level captioning API.
+
+Mirrors the reference's two inference surfaces:
+- ``ImageToTextModel.generate`` (reference model.py:171-255): PIL image in,
+  token-ID list out, ``method`` ∈ {'greedy', 'beam'} — except beam search is
+  real here (the reference's is a placeholder that falls back to greedy);
+- ``inference.generate_caption`` post-processing (reference
+  inference.py:96-126): cut at first END, strip leading START, decode with
+  specials kept, strip UNK, collapse whitespace.
+
+TPU-native: images are encoded and captions decoded in batches through
+jit-compiled KV-cached loops; per-image calls are the batch=1 special case.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mit_tpu.config import Config
+from mit_tpu.data.preprocess import HostPreprocessor
+from mit_tpu.decode.beam import beam_generate
+from mit_tpu.decode.greedy import greedy_generate
+from mit_tpu.models.model import ModelConfig, encode_images, project_features
+from mit_tpu.text.tokenizer import Tokenizer
+
+
+class Captioner:
+    """Stateful wrapper owning params + tokenizer + jitted decode paths."""
+
+    def __init__(
+        self,
+        params: dict,
+        mcfg: ModelConfig,
+        tokenizer: Tokenizer,
+        cfg: Optional[Config] = None,
+        compute_dtype=jnp.float32,
+    ):
+        self.params = params
+        self.mcfg = mcfg
+        self.tokenizer = tokenizer
+        self.cfg = cfg or Config()
+        self.compute_dtype = compute_dtype
+        self.preprocessor = HostPreprocessor(
+            mcfg.encoder_name, image_size=mcfg.vision.image_size
+        )
+        self._encode = jax.jit(
+            lambda px: project_features(
+                self.params,
+                mcfg,
+                encode_images(self.params, mcfg, px, compute_dtype),
+                compute_dtype,
+            )
+        )
+
+    # ------------------------------------------------------------------
+    def memory_from_images(self, images: Sequence) -> jnp.ndarray:
+        """PIL images → decoder memory (B, S, D)."""
+        pixels = np.stack([self.preprocessor(im) for im in images])
+        return self._encode(jnp.asarray(pixels))
+
+    def memory_from_pixels(self, pixels: jnp.ndarray) -> jnp.ndarray:
+        """Preprocessed NCHW pixel batch → decoder memory."""
+        return self._encode(pixels)
+
+    # ------------------------------------------------------------------
+    def generate(
+        self,
+        image,
+        start_token_id: Optional[int] = None,
+        end_token_id: Optional[int] = None,
+        max_len: int = 100,
+        method: str = "greedy",
+        beam_size: int = 3,
+    ) -> List[int]:
+        """Single-image token generation (reference model.py:171 surface).
+
+        Returns the ID list including START and (if produced) END, exactly
+        like the reference's greedy loop output.
+        """
+        ids = self.generate_batch(
+            [image], start_token_id, end_token_id, max_len, method, beam_size
+        )[0]
+        return ids
+
+    def generate_batch(
+        self,
+        images: Sequence,
+        start_token_id: Optional[int] = None,
+        end_token_id: Optional[int] = None,
+        max_len: int = 100,
+        method: str = "greedy",
+        beam_size: int = 3,
+    ) -> List[List[int]]:
+        memory = self.memory_from_images(images)
+        return self.generate_from_memory(
+            memory, start_token_id, end_token_id, max_len, method, beam_size
+        )
+
+    def generate_from_memory(
+        self,
+        memory: jnp.ndarray,
+        start_token_id: Optional[int] = None,
+        end_token_id: Optional[int] = None,
+        max_len: int = 100,
+        method: str = "greedy",
+        beam_size: int = 3,
+    ) -> List[List[int]]:
+        tok = self.tokenizer
+        start_id = tok.start_id if start_token_id is None else start_token_id
+        end_id = tok.end_id if end_token_id is None else end_token_id
+        dec = self.params["decoder"]
+        if method == "greedy":
+            tokens, lengths = greedy_generate(
+                dec, self.mcfg.decoder, memory, start_id, end_id, tok.pad_id,
+                max_len, compute_dtype=self.compute_dtype,
+            )
+        elif method == "beam":
+            tokens, _ = beam_generate(
+                dec, self.mcfg.decoder, memory, start_id, end_id, tok.pad_id,
+                max_len, beam_size, compute_dtype=self.compute_dtype,
+            )
+            lengths = jnp.sum(tokens != tok.pad_id, axis=1)
+        else:
+            raise ValueError(
+                f"Unsupported generation method: {method}. "
+                "Choose 'greedy' or 'beam'."
+            )
+        tokens = np.asarray(tokens)
+        lengths = np.asarray(lengths)
+        return [tokens[i, : lengths[i]].tolist() for i in range(tokens.shape[0])]
+
+    # ------------------------------------------------------------------
+    def postprocess(self, generated_ids: List[int]) -> str:
+        """Reference inference.py:96-126 post-processing, verbatim semantics."""
+        tok = self.tokenizer
+        try:
+            first_end = generated_ids.index(tok.end_id)
+            ids = generated_ids[:first_end]
+        except ValueError:
+            ids = list(generated_ids)
+        if ids and ids[0] == tok.start_id:
+            ids = ids[1:]
+        text = tok.decode(ids, skip_special_tokens=False)
+        text = text.replace(self.cfg.UNK_TOKEN, "").strip()
+        return " ".join(text.split())
+
+    def caption(self, image, method: str = "greedy", max_len: Optional[int] = None,
+                beam_size: Optional[int] = None) -> str:
+        return self.caption_batch([image], method, max_len, beam_size)[0]
+
+    def caption_batch(
+        self,
+        images: Sequence,
+        method: str = "greedy",
+        max_len: Optional[int] = None,
+        beam_size: Optional[int] = None,
+    ) -> List[str]:
+        ids = self.generate_batch(
+            images,
+            max_len=max_len or self.cfg.MAX_SEQ_LEN,
+            method=method,
+            beam_size=beam_size or self.cfg.BEAM_SIZE,
+        )
+        return [self.postprocess(s) for s in ids]
+
+
+def load_captioner(
+    checkpoint_path: str, cfg: Config, compute_dtype=jnp.float32
+) -> Captioner:
+    """Build a Captioner from a reference-layout safetensors checkpoint
+    (the reference inference.py:40-68 flow: tokenizer → model from config
+    hparams + actual vocab size → load weights)."""
+    from mit_tpu.text.tokenizer import get_tokenizer
+    from mit_tpu.train.checkpoint import load_safetensors
+
+    tokenizer = get_tokenizer(cfg, force_reload=True)
+    cfg = cfg.with_tokenizer_ids(tokenizer)
+    mcfg = ModelConfig.build(cfg, vocab_size=tokenizer.get_vocab_size())
+    params = load_safetensors(checkpoint_path, mcfg)
+    return Captioner(params, mcfg, tokenizer, cfg, compute_dtype)

@@ -1,0 +1,183 @@
+"""Single-token decoder step with KV cache.
+
+The reference's generate loop re-runs the FULL decoder over the growing
+prefix every step — O(T²) layer work per caption with no cache (reference
+model.py:219-242, flagged in its own comments). Here each step costs O(T)
+attention reads against a static-shape KV cache, jit-compiled once:
+
+- self-attention K/V live in a (L, B, H, T_max, hd) cache updated in place
+  (functional ``.at[].set`` that XLA performs as an aliased dynamic-update);
+- the cross-attention contribution is precomputed ONCE per sequence: in CLS
+  memory mode it is a per-layer constant vector (softmax over one key is 1 —
+  same algebraic fast path as training), in full mode the memory K/V are
+  projected once and reused every step;
+- masks come from index comparisons against the current position, so shapes
+  never change during generation.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mit_tpu.models.decoder import DecoderConfig
+from mit_tpu.ops.attention import layer_norm
+from mit_tpu.ops.masks import NEG_INF
+from mit_tpu.ops.positional import sinusoid_table
+
+
+class DecodeCache(NamedTuple):
+    """Per-generation state reused across steps."""
+
+    k: jnp.ndarray                     # (L, B, H, T_max, hd) self-attn keys
+    v: jnp.ndarray                     # (L, B, H, T_max, hd) self-attn values
+    cross_const: Optional[jnp.ndarray]  # (L, B, D) CLS-mode constant, or None
+    cross_k: Optional[jnp.ndarray]     # (L, B, H, S, hd) full-memory keys
+    cross_v: Optional[jnp.ndarray]     # (L, B, H, S, hd) full-memory values
+    cross_mask: Optional[jnp.ndarray]  # (B, 1, S) additive, or None
+
+
+def _split_heads_1(x: jnp.ndarray, h: int) -> jnp.ndarray:
+    """(B, D) -> (B, H, hd)."""
+    b, d = x.shape
+    return x.reshape(b, h, d // h)
+
+
+def init_cache(
+    params: dict,
+    cfg: DecoderConfig,
+    memory: jnp.ndarray,               # (B, S, D) projected decoder memory
+    memory_padding_mask: Optional[jnp.ndarray] = None,
+    max_len: Optional[int] = None,
+    compute_dtype=jnp.float32,
+) -> DecodeCache:
+    """Allocate the KV cache and precompute the cross-attention terms."""
+    cd = compute_dtype
+    L = cfg.num_layers
+    h = cfg.num_heads
+    d = cfg.embed_dim
+    hd = d // h
+    b, s, _ = memory.shape
+    t_max = max_len or cfg.max_seq_len
+
+    k = jnp.zeros((L, b, h, t_max, hd), cd)
+    v = jnp.zeros((L, b, h, t_max, hd), cd)
+
+    layers = params["layers"]
+    mem = memory.astype(cd)
+    if s == 1 and memory_padding_mask is None:
+        # CLS mode: out_proj(v_proj(memory)) per layer — constant per sequence.
+        vv = jnp.einsum("bsd,lde->lbse", mem, layers["cross"]["wv"].astype(cd))
+        vv = vv + layers["cross"]["bv"].astype(cd)[:, None, None, :]
+        out = jnp.einsum("lbse,lef->lbsf", vv, layers["cross"]["wo"].astype(cd))
+        out = out + layers["cross"]["bo"].astype(cd)[:, None, None, :]
+        return DecodeCache(k, v, out[:, :, 0, :], None, None, None)
+
+    ck = jnp.einsum("bsd,lde->lbse", mem, layers["cross"]["wk"].astype(cd))
+    ck = ck + layers["cross"]["bk"].astype(cd)[:, None, None, :]
+    cv = jnp.einsum("bsd,lde->lbse", mem, layers["cross"]["wv"].astype(cd))
+    cv = cv + layers["cross"]["bv"].astype(cd)[:, None, None, :]
+    ck = ck.reshape(L, b, s, h, hd).transpose(0, 1, 3, 2, 4)
+    cv = cv.reshape(L, b, s, h, hd).transpose(0, 1, 3, 2, 4)
+    cmask = None
+    if memory_padding_mask is not None:
+        cmask = jnp.where(memory_padding_mask, NEG_INF, 0.0)[:, None, :]
+    return DecodeCache(k, v, None, ck, cv, cmask)
+
+
+def decoder_step(
+    params: dict,
+    cfg: DecoderConfig,
+    tokens: jnp.ndarray,               # (B,) current input token ids
+    pos: jnp.ndarray,                  # scalar int32 position of `tokens`
+    cache: DecodeCache,
+    compute_dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, DecodeCache]:
+    """One decode step → (logits (B, V) fp32, updated cache)."""
+    cd = compute_dtype
+    L = cfg.num_layers
+    h = cfg.num_heads
+    d = cfg.embed_dim
+    hd = d // h
+    b = tokens.shape[0]
+    t_max = cache.k.shape[3]
+    layers = params["layers"]
+
+    x = params["token_embedding"].astype(cd)[tokens] * jnp.asarray(math.sqrt(d), cd)
+    pos_table = sinusoid_table(cfg.max_seq_len, d, dtype=cd)
+    x = x + jax.lax.dynamic_index_in_dim(pos_table, pos, keepdims=False)
+
+    # visibility mask over cache positions: j <= pos
+    visible = (jnp.arange(t_max) <= pos)[None, None, :]  # (1,1,T)
+
+    k_cache, v_cache = cache.k, cache.v
+    scale = jnp.asarray(1.0 / math.sqrt(hd), jnp.float32)
+
+    for l in range(L):
+        sp = jax.tree.map(lambda a: a[l], layers["self"])
+        q = _split_heads_1(x @ sp["wq"].astype(cd) + sp["bq"].astype(cd), h)
+        k_t = _split_heads_1(x @ sp["wk"].astype(cd) + sp["bk"].astype(cd), h)
+        v_t = _split_heads_1(x @ sp["wv"].astype(cd) + sp["bv"].astype(cd), h)
+        k_cache = k_cache.at[l, :, :, pos, :].set(k_t)
+        v_cache = v_cache.at[l, :, :, pos, :].set(v_t)
+
+        scores = jnp.einsum(
+            "bhe,bhte->bht", q, k_cache[l], preferred_element_type=jnp.float32
+        ) * scale
+        scores = jnp.where(visible, scores, NEG_INF)
+        probs = jax.nn.softmax(scores, axis=-1).astype(cd)
+        ctx = jnp.einsum(
+            "bht,bhte->bhe", probs, v_cache[l], preferred_element_type=jnp.float32
+        ).astype(cd)
+        sa = ctx.reshape(b, d) @ sp["wo"].astype(cd) + sp["bo"].astype(cd)
+        x = layer_norm(jax.tree.map(lambda a: a[l], layers["ln1"]), x + sa)
+
+        # cross-attention
+        if cache.cross_const is not None:
+            ca = cache.cross_const[l]
+        else:
+            cp = jax.tree.map(lambda a: a[l], layers["cross"])
+            qc = _split_heads_1(x @ cp["wq"].astype(cd) + cp["bq"].astype(cd), h)
+            cs = jnp.einsum(
+                "bhe,bhse->bhs", qc, cache.cross_k[l],
+                preferred_element_type=jnp.float32,
+            ) * scale
+            if cache.cross_mask is not None:
+                cs = cs + cache.cross_mask
+            cprobs = jax.nn.softmax(cs, axis=-1).astype(cd)
+            cctx = jnp.einsum(
+                "bhs,bhse->bhe", cprobs, cache.cross_v[l],
+                preferred_element_type=jnp.float32,
+            ).astype(cd)
+            ca = cctx.reshape(b, d) @ cp["wo"].astype(cd) + cp["bo"].astype(cd)
+        x = layer_norm(jax.tree.map(lambda a: a[l], layers["ln2"]), x + ca)
+
+        f = jax.tree.map(lambda a: a[l], layers["ffn"])
+        y = jax.nn.relu(x @ f["w1"].astype(cd) + f["b1"].astype(cd))
+        y = y @ f["w2"].astype(cd) + f["b2"].astype(cd)
+        x = layer_norm(jax.tree.map(lambda a: a[l], layers["ln3"]), x + y)
+
+    logits = x.astype(jnp.float32) @ params["fc_out_w"].astype(jnp.float32)
+    logits = logits + params["fc_out_b"]
+    return logits, DecodeCache(
+        k_cache, v_cache, cache.cross_const, cache.cross_k, cache.cross_v,
+        cache.cross_mask,
+    )
+
+
+def reindex_cache(cache: DecodeCache, idx: jnp.ndarray) -> DecodeCache:
+    """Gather batch rows (beam reordering): idx (B,) into dim 1 of k/v."""
+    take = lambda a: None if a is None else jnp.take(a, idx, axis=1)
+    return DecodeCache(
+        k=jnp.take(cache.k, idx, axis=1),
+        v=jnp.take(cache.v, idx, axis=1),
+        cross_const=take(cache.cross_const),
+        cross_k=take(cache.cross_k),
+        cross_v=take(cache.cross_v),
+        cross_mask=None
+        if cache.cross_mask is None
+        else jnp.take(cache.cross_mask, idx, axis=0),
+    )
