@@ -47,14 +47,15 @@ class Captioner:
         self.preprocessor = HostPreprocessor(
             mcfg.encoder_name, image_size=mcfg.vision.image_size
         )
-        self._encode = jax.jit(
-            lambda px: project_features(
-                self.params,
-                mcfg,
-                encode_images(self.params, mcfg, px, compute_dtype),
-                compute_dtype,
+        # params must be jit *arguments*, not closure constants — closing
+        # over the param pytree bakes ~100M weights into the compiled
+        # program as literals and stalls compilation for minutes on TPU.
+        self._encode_fn = jax.jit(
+            lambda p, px: project_features(
+                p, mcfg, encode_images(p, mcfg, px, compute_dtype), compute_dtype
             )
         )
+        self._encode = lambda px: self._encode_fn(self.params, px)
 
     # ------------------------------------------------------------------
     def memory_from_images(self, images: Sequence) -> jnp.ndarray:

@@ -50,9 +50,12 @@ class FeatureCache:
         path_to_row = {p: i for i, p in enumerate(unique_paths)}
         pre = dataset.preprocessor
 
-        encode = jax.jit(
-            lambda px: encode_images({"encoder": encoder_params}, mcfg, px)
+        # params as jit argument (a closure constant would be baked into the
+        # compiled program and stall compilation for real-size encoders)
+        encode_fn = jax.jit(
+            lambda p, px: encode_images({"encoder": p}, mcfg, px)
         )
+        encode = lambda px: encode_fn(encoder_params, px)
 
         def load(path):
             from PIL import Image
