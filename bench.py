@@ -57,7 +57,7 @@ def main():
     else:
         mcfg = ModelConfig.build(cfg, vocab_size=10000)  # ViT-B/16 + 6L decoder
         batch = int(os.environ.get("MIT_BENCH_BATCH", 256))
-        iters = int(os.environ.get("MIT_BENCH_ITERS", 4))
+        iters = int(os.environ.get("MIT_BENCH_ITERS", 8))
         img_hw = 224
 
     params = init_model_params(jax.random.PRNGKey(0), mcfg)
@@ -67,25 +67,27 @@ def main():
 
     spec_name = mcfg.encoder_name if not tiny else "google/vit-base-patch16-224-in21k"
 
-    # params as jit arguments (closure-captured params become giant
-    # compile-time constants and stall XLA for minutes)
+    # ONE jitted program for the whole pipeline (separate dispatches pay
+    # host→device round-trip latency per call — significant on a remote
+    # tunnel and real in production too). params as jit arguments
+    # (closure-captured params become giant compile-time constants).
     @jax.jit
-    def encode(p, images_u8):
+    def caption_kernel(p, images_u8):
         pixels = device_preprocess(images_u8, spec_name)
         if tiny:
             pixels = jax.image.resize(
                 pixels, (pixels.shape[0], 3, img_hw, img_hw), "bilinear"
             )
         feats = encode_images(p, mcfg, pixels, cd)
-        return project_features(p, mcfg, feats, cd)
-
-    def caption_batch(images_u8):
-        memory = encode(params, images_u8)
+        memory = project_features(p, mcfg, feats, cd)
         tokens, lengths = greedy_generate(
-            params["decoder"], mcfg.decoder, memory,
+            p["decoder"], mcfg.decoder, memory,
             tok_start, tok_end, tok_pad, max_len, compute_dtype=cd,
         )
         return tokens
+
+    def caption_batch(images_u8):
+        return caption_kernel(params, images_u8)
 
     rng = np.random.default_rng(0)
     images = rng.integers(0, 256, (batch, img_hw, img_hw, 3), dtype=np.uint8)

@@ -136,23 +136,26 @@ def decoder_forward(
     deterministic: bool = True,
     rng: Optional[jax.Array] = None,
     compute_dtype=jnp.float32,
+    use_pallas: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Full-sequence forward → logits (B, T, V) in fp32.
 
-    Equivalent of reference decoder.py:134-193 forward.
+    Equivalent of reference decoder.py:134-193 forward. ``use_pallas=None``
+    auto-enables the fused attention kernel on TPU.
     """
+    if use_pallas is None:
+        from mit_tpu.ops.pallas_attention import on_tpu
+
+        use_pallas = on_tpu()
     b, t = tgt_tokens.shape
     d = cfg.embed_dim
     cd = compute_dtype
     drop = cfg.dropout
 
-    # Masks from indices (reference builds materialized (T,T) float masks,
-    # decoder.py:153-162; here they are fused into the score add by XLA).
-    i = jnp.arange(t)[:, None]
-    j = jnp.arange(t)[None, :]
-    causal = jnp.where(j <= i, 0.0, NEG_INF)[None, None, :, :]
+    # Masking is structural (causal flag + per-key pad vector) — fused into
+    # the attention kernel; the reference materializes (T,T) float masks
+    # (reference decoder.py:153-162).
     tgt_pad = jnp.where(tgt_tokens == cfg.pad_idx, NEG_INF, 0.0)
-    self_mask = causal + tgt_pad[:, None, None, :]
 
     mem_mask = None
     single_key = memory.shape[1] == 1 and memory_padding_mask is None
@@ -178,8 +181,9 @@ def decoder_forward(
 
         # Self-attention sublayer (post-LN).
         sa = multihead_attention(
-            layer["self"], x, x, cfg.num_heads, self_mask,
+            layer["self"], x, x, cfg.num_heads, None,
             drop, r1, deterministic, cd,
+            use_flash=use_pallas, causal=True, pad_add=tgt_pad,
         )
         x = layer_norm(layer["ln1"], x + _dropout(sa, drop, r2, deterministic))
 

@@ -171,12 +171,18 @@ def vision_forward(
     cfg: VisionConfig,
     pixel_values: jnp.ndarray,            # (B, 3, H, W) fp32, NCHW (HF layout)
     compute_dtype=jnp.float32,
+    use_pallas: bool = None,
 ) -> jnp.ndarray:
     """Returns last_hidden_state (B, N+1, D), matching the HF family model.
 
     Equivalent of the frozen-encoder forward the reference calls under
     ``torch.no_grad()`` (reference model.py:133-141, encoder.py:65-110).
+    ``use_pallas=None`` auto-enables the fused attention kernel on TPU.
     """
+    if use_pallas is None:
+        from mit_tpu.ops.pallas_attention import on_tpu
+
+        use_pallas = on_tpu()
     cd = compute_dtype
     eps = cfg.layer_norm_eps
     b = pixel_values.shape[0]
@@ -199,7 +205,8 @@ def vision_forward(
     def body(x, layer):
         h = layer_norm(layer["ln1"], x, eps)
         a = multihead_attention(
-            layer["attn"], h, h, cfg.num_heads, compute_dtype=cd
+            layer["attn"], h, h, cfg.num_heads, compute_dtype=cd,
+            use_flash=use_pallas,
         )
         x = x + a
         h = layer_norm(layer["ln2"], x, eps)

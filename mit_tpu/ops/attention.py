@@ -49,12 +49,21 @@ def multihead_attention(
     rng: Optional[jax.Array] = None,
     deterministic: bool = True,
     compute_dtype=jnp.float32,
+    use_flash: bool = False,
+    causal: bool = False,
+    pad_add: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """torch-semantics multi-head attention.
 
     params: {wq, wk, wv, wo: (D, D) in (in, out) layout; bq, bk, bv, bo: (D,)}
     q_in: (B, T, D) queries source; kv_in: (B, S, D) keys/values source.
     mask: additive, broadcastable to (B, H, T, S) (0 = keep, -1e9 = block).
+
+    Fast path: with ``use_flash`` the score/mask/softmax/PV chain runs in the
+    fused Pallas kernel (ops/pallas_attention.py); the mask is then expressed
+    structurally as ``causal`` + per-key ``pad_add`` (B, S) instead of a
+    materialized ``mask`` tensor. Falls back to the XLA path when
+    attention-prob dropout is active (the kernel is dropout-free).
     """
     d = q_in.shape[-1]
     hd = d // num_heads
@@ -68,6 +77,29 @@ def multihead_attention(
     kh = _split_heads(k, num_heads)  # (B, H, S, hd)
     vh = _split_heads(v, num_heads)
 
+    dropout_active = dropout_rate > 0.0 and not deterministic
+    if use_flash and not dropout_active:
+        from mit_tpu.ops.pallas_attention import flash_attention
+
+        if pad_add is None:
+            pad_add = jnp.zeros((kv_in.shape[0], kv_in.shape[1]), jnp.float32)
+        ctx = flash_attention(qh, kh, vh, pad_add, causal)
+        out = _merge_heads(ctx)
+        return (out @ params["wo"].astype(cd)) + params["bo"].astype(cd)
+
+    if mask is None and (causal or pad_add is not None):
+        # build the additive mask the slow path needs from the structural form
+        t, s = q_in.shape[1], kv_in.shape[1]
+        mask = jnp.zeros((1, 1, t, s), jnp.float32)
+        if causal:
+            i = jnp.arange(t)[:, None]
+            j = jnp.arange(s)[None, :]
+            from mit_tpu.ops.masks import NEG_INF
+
+            mask = mask + jnp.where(j <= i, 0.0, NEG_INF)[None, None]
+        if pad_add is not None:
+            mask = mask + pad_add[:, None, None, :]
+
     scores = jnp.einsum(
         "bhtd,bhsd->bhts", qh, kh, preferred_element_type=jnp.float32
     ) / jnp.sqrt(jnp.float32(hd))
@@ -75,7 +107,7 @@ def multihead_attention(
         scores = scores + mask.astype(scores.dtype)
     probs = jax.nn.softmax(scores, axis=-1)
 
-    if dropout_rate > 0.0 and not deterministic:
+    if dropout_active:
         keep = jax.random.bernoulli(rng, 1.0 - dropout_rate, probs.shape)
         probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
 

@@ -1,0 +1,151 @@
+"""Pallas TPU kernels for the attention hot paths.
+
+Kernel 1 — fused causal self-attention (decoder training/prefill):
+    per (batch, head) grid cell, Q/K/V tiles live in VMEM; scores, the
+    causal+padding mask, the numerically-stable softmax and the PV matmul
+    all happen in one kernel — no (B, H, T, T) probability tensor ever
+    reaches HBM (the reference materializes additive masks and runs
+    separate ATen kernels per op, reference utils.py:11-70,
+    decoder.py:153-186).
+
+At the reference's shapes (T ≤ 128, hd = 64) one (T, T) tile fits VMEM
+easily, so this is single-block flash attention: no K/V streaming loop is
+needed — the fusion (mask + softmax + two MXU matmuls, one HBM round trip)
+is where the win is.
+
+Backward: ``jax.custom_vjp`` recomputes attention with XLA einsums from the
+saved Q/K/V (rematerialization — trades FLOPs for never storing probs).
+
+All kernels run in ``interpret`` mode off-TPU so the test suite validates
+them on CPU; `use_pallas()` gates the fast path at runtime.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+
+
+@functools.lru_cache(maxsize=1)
+def on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, pad_ref, o_ref, *, scale: float,
+                 causal: bool):
+    """One (batch, head) cell: out = softmax(mask(q·kᵀ·scale)) · v.
+
+    q/k/v refs: (T, hd) / (S, hd) VMEM tiles. pad_ref: (1, S) additive mask
+    row (0 keep / NEG_INF pad). Causal structure comes from index
+    comparison (never a materialized mask tensor).
+    """
+    t = q_ref.shape[0]
+    s = k_ref.shape[0]
+    q = q_ref[:].astype(jnp.float32)
+    k = k_ref[:].astype(jnp.float32)
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale                                             # (T, S)
+
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (t, s), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (t, s), 1)
+        scores = scores + jnp.where(col <= row, 0.0, NEG_INF)
+    scores = scores + pad_ref[0, :][None, :]
+
+    m = jnp.max(scores, axis=1, keepdims=True)
+    p = jnp.exp(scores - m)
+    denom = jnp.sum(p, axis=1, keepdims=True)
+    probs = p / denom
+    o_ref[:] = jax.lax.dot_general(
+        probs.astype(v_ref.dtype), v_ref[:],
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+def _flash_forward(q, k, v, pad_add, causal):
+    """q: (B, H, T, hd); k/v: (B, H, S, hd); pad_add: (B, S) additive."""
+    b, h, t, hd = q.shape
+    s = k.shape[2]
+    scale = 1.0 / math.sqrt(hd)
+    kernel = functools.partial(_attn_kernel, scale=scale, causal=causal)
+    qf = q.reshape(b * h, t, hd)
+    kf = k.reshape(b * h, s, hd)
+    vf = v.reshape(b * h, s, hd)
+    padf = jnp.repeat(pad_add[:, None, :], h, axis=1).reshape(b * h, 1, s)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b * h,),
+        in_specs=[
+            pl.BlockSpec((None, t, hd), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, s, hd), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, s, hd), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, s), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, t, hd), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, t, hd), q.dtype),
+        interpret=not on_tpu(),
+    )(qf, kf, vf, padf)
+    return out.reshape(b, h, t, hd)
+
+
+def _xla_attention(q, k, v, pad_add, causal):
+    """Reference XLA implementation (also the backward-pass recompute)."""
+    hd = q.shape[-1]
+    t = q.shape[2]
+    s = k.shape[2]
+    scores = jnp.einsum(
+        "bhtd,bhsd->bhts", q.astype(jnp.float32), k.astype(jnp.float32)
+    ) / math.sqrt(hd)
+    if causal:
+        i = jnp.arange(t)[:, None]
+        j = jnp.arange(s)[None, :]
+        scores = scores + jnp.where(j <= i, 0.0, NEG_INF)[None, None]
+    scores = scores + pad_add[:, None, None, :]
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhts,bhsd->bhtd", probs.astype(q.dtype), v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def flash_attention(q, k, v, pad_add, causal=True):
+    """Fused attention: q (B,H,T,hd), k/v (B,H,S,hd), pad_add (B,S) additive.
+
+    ``causal=True`` for decoder self-attention, ``False`` for encoder
+    (bidirectional) attention. Dropout-free — callers fall back to the XLA
+    path when attention-prob dropout is active.
+    """
+    return _flash_forward(q, k, v, pad_add, causal)
+
+
+def _fwd(q, k, v, pad_add, causal):
+    # nondiff_argnums args keep their original positions in fwd (they lead
+    # only in the bwd rule's signature)
+    return _flash_forward(q, k, v, pad_add, causal), (q, k, v, pad_add)
+
+
+def _bwd(causal, res, g):
+    q, k, v, pad_add = res
+    _, vjp = jax.vjp(
+        lambda q, k, v: _xla_attention(q, k, v, pad_add, causal), q, k, v
+    )
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+flash_attention.defvjp(_fwd, _bwd)
