@@ -1,0 +1,116 @@
+"""Continuous-batching service tests.
+
+Key property: the service (continuous batching, fewer slots than requests,
+per-slot positions) produces EXACTLY the tokens the plain batched greedy
+decoder produces for every request.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mit_tpu.config import Config
+from mit_tpu.decode.api import Captioner
+from mit_tpu.decode.greedy import greedy_generate
+from mit_tpu.decode.service import CaptionService
+from mit_tpu.models.decoder import DecoderConfig
+from mit_tpu.models.model import ModelConfig, init_model_params
+from mit_tpu.models.vision import VisionConfig
+from mit_tpu.text.tokenizer import train_tokenizer
+
+MAXLEN = 14
+
+
+@pytest.fixture(scope="module")
+def captioner(tmp_path_factory):
+    d = tmp_path_factory.mktemp("svc")
+    cfg = Config(DATA_DIR=str(d) + "/", MAX_SEQ_LEN=MAXLEN)
+    tok = train_tokenizer(
+        iter(["a dog runs fast", "cats sleep all day", "birds fly south"]),
+        300, cfg.VOCAB_PATH, cfg.MERGES_PATH, cfg,
+    )
+    vis = VisionConfig(
+        family="vit", image_size=32, patch_size=16, hidden_size=40,
+        num_layers=1, num_heads=2, intermediate_size=48,
+        hidden_act="gelu", layer_norm_eps=1e-12,
+        patch_bias=True, ln_pre=False, ln_post=True,
+    )
+    dec = DecoderConfig(
+        vocab_size=tok.get_vocab_size(), embed_dim=32, num_heads=4,
+        num_layers=2, ff_dim=48, max_seq_len=MAXLEN, dropout=0.0,
+        pad_idx=tok.pad_id,
+    )
+    mcfg = ModelConfig("tiny-vit", vis, dec, "cls")
+    params = init_model_params(jax.random.PRNGKey(0), mcfg)
+    return Captioner(params, mcfg, tok, cfg)
+
+
+def _memories(captioner, n, seed=0):
+    d = captioner.mcfg.decoder.embed_dim
+    return np.random.default_rng(seed).normal(size=(n, 1, d)).astype(np.float32)
+
+
+def test_service_matches_batch_greedy(captioner):
+    tok = captioner.tokenizer
+    mems = _memories(captioner, 10)
+    ref_tokens, ref_lengths = greedy_generate(
+        captioner.params["decoder"], captioner.mcfg.decoder,
+        jnp.asarray(mems), tok.start_id, tok.end_id, tok.pad_id, MAXLEN,
+    )
+    ref_tokens = np.asarray(ref_tokens)
+    ref_lengths = np.asarray(ref_lengths)
+
+    svc = CaptionService(captioner, num_slots=3)  # fewer slots than requests
+    rids = [svc.submit_memory(mems[i]) for i in range(10)]
+    results = svc.run_to_completion()
+    assert set(results) == set(rids)
+    for i, rid in enumerate(rids):
+        expect = ref_tokens[i, : ref_lengths[i]].tolist()
+        assert results[rid] == expect, f"request {i}"
+
+
+def test_service_interleaved_submission(captioner):
+    """Admitting requests mid-flight must not disturb running slots."""
+    tok = captioner.tokenizer
+    mems = _memories(captioner, 6, seed=3)
+    ref_tokens, ref_lengths = greedy_generate(
+        captioner.params["decoder"], captioner.mcfg.decoder,
+        jnp.asarray(mems), tok.start_id, tok.end_id, tok.pad_id, MAXLEN,
+    )
+    ref_tokens = np.asarray(ref_tokens)
+    ref_lengths = np.asarray(ref_lengths)
+
+    svc = CaptionService(captioner, num_slots=2)
+    rids = [svc.submit_memory(mems[i]) for i in range(2)]
+    for _ in range(3):
+        svc.step()
+    rids += [svc.submit_memory(mems[i]) for i in range(2, 6)]
+    results = svc.run_to_completion()
+    for i, rid in enumerate(rids):
+        expect = ref_tokens[i, : ref_lengths[i]].tolist()
+        assert results[rid] == expect, f"request {i}"
+
+
+def test_service_slot_reuse_and_occupancy(captioner):
+    svc = CaptionService(captioner, num_slots=2)
+    mems = _memories(captioner, 5, seed=7)
+    for i in range(5):
+        svc.submit_memory(mems[i])
+    results = svc.run_to_completion()
+    assert len(results) == 5
+    # continuous batching: total steps strictly below serial sum of lengths
+    serial_steps = sum(len(v) - 1 for v in results.values())
+    assert svc.steps_run < serial_steps
+
+
+def test_service_end_to_end_with_images(captioner):
+    from PIL import Image
+
+    svc = CaptionService(captioner, num_slots=2)
+    imgs = [Image.new("RGB", (40, 40), (40 * i, 20, 90)) for i in range(3)]
+    caps = svc.caption_stream(imgs)
+    assert len(caps) == 3
+    direct = captioner.caption_batch(imgs, max_len=MAXLEN)
+    assert caps == direct
