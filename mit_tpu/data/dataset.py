@@ -49,11 +49,21 @@ class ImageTextDataset:
         tokenizer: Tokenizer,
         encoder_name: str,
         verbose: bool = True,
+        use_native_loader: bool = True,
     ):
         self.image_dir = image_dir
         self.max_seq_len = max_seq_len
         self.tokenizer = tokenizer
         self.preprocessor = HostPreprocessor(encoder_name)
+        # C++ JPEG decode+preprocess fast path (GIL-releasing), PIL fallback
+        self.native_loader = None
+        if use_native_loader:
+            try:
+                from mit_tpu.data.native_loader import NativeImageLoader
+
+                self.native_loader = NativeImageLoader(encoder_name)
+            except Exception:
+                self.native_loader = None
 
         self.image_paths: List[str] = []
         self.captions: List[str] = []
@@ -119,10 +129,13 @@ class ImageTextDataset:
         img_path = self.image_paths[idx]
         caption = self.captions[idx]
         try:
-            from PIL import Image
+            if self.native_loader is not None:
+                image = self.native_loader.load_path(img_path)
+            else:
+                from PIL import Image
 
-            with Image.open(img_path) as im:
-                image = self.preprocessor(im)
+                with Image.open(img_path) as im:
+                    image = self.preprocessor(im)
         except Exception as e:  # corrupt image → dummy item, never raise
             print(f"Error loading image {img_path}: {e}. Returning a dummy item.")
             image = np.zeros(self.preprocessor.output_shape, np.float32)

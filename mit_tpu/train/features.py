@@ -57,10 +57,14 @@ class FeatureCache:
         )
         encode = lambda px: encode_fn(encoder_params, px)
 
-        def load(path):
-            from PIL import Image
+        native = getattr(dataset, "native_loader", None)
 
+        def load(path):
             try:
+                if native is not None:
+                    return native.load_path(path)
+                from PIL import Image
+
                 with Image.open(path) as im:
                     return pre(im)
             except Exception:
