@@ -121,6 +121,26 @@ def train(
     wandb_run = setup_wandb(cfg) if wandb_enabled else None
     log = (lambda d: wandb_run.log(d)) if wandb_run else (lambda d: None)
 
+    # Default HF Hub uploader (reference train.py:177-186, 458-474): ensure
+    # the repo exists up front; failures disable uploads gracefully.
+    if hf_upload is None and cfg.HF_UPLOAD_BEST_CHECKPOINTS:
+        try:
+            from huggingface_hub import HfApi, create_repo
+
+            create_repo(cfg.HF_REPO_ID, repo_type="model", exist_ok=True)
+            _api = HfApi()
+
+            def hf_upload(path, name):
+                _api.upload_file(
+                    path_or_fileobj=path, path_in_repo=name,
+                    repo_id=cfg.HF_REPO_ID, repo_type="model",
+                )
+
+            print(f"HF Hub repo '{cfg.HF_REPO_ID}' ready for uploads.")
+        except Exception as e:
+            print(f"HF Hub unavailable; uploads disabled. ({e})")
+            hf_upload = None
+
     tokenizer = ensure_tokenizer(cfg)
     cfg = cfg.with_tokenizer_ids(tokenizer)
     actual_vocab_size = tokenizer.get_vocab_size()
