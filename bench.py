@@ -56,8 +56,8 @@ def main():
         img_hw = 32
     else:
         mcfg = ModelConfig.build(cfg, vocab_size=10000)  # ViT-B/16 + 6L decoder
-        batch = int(os.environ.get("MIT_BENCH_BATCH", 256))
-        iters = int(os.environ.get("MIT_BENCH_ITERS", 8))
+        batch = int(os.environ.get("MIT_BENCH_BATCH", 1024))
+        iters = int(os.environ.get("MIT_BENCH_ITERS", 4))
         img_hw = 224
 
     params = init_model_params(jax.random.PRNGKey(0), mcfg)

@@ -24,7 +24,12 @@ import jax
 import jax.numpy as jnp
 
 from mit_tpu.models.decoder import DecoderConfig
-from mit_tpu.decode.step import decoder_step, init_cache, reindex_cache
+from mit_tpu.decode.step import (
+    decoder_step,
+    init_cache,
+    prepare_decode_params,
+    reindex_cache,
+)
 
 _NEG = -1e30
 
@@ -60,6 +65,8 @@ def beam_generate(
         None if memory_padding_mask is None else jnp.repeat(memory_padding_mask, k, 0)
     )
     cache = init_cache(params, cfg, mem, mem_mask, max_len, compute_dtype)
+    # cast + qkv-fuse weights once, outside the decode loop
+    params = prepare_decode_params(params, compute_dtype)
 
     tokens = jnp.full((b * k, max_len), pad_id, jnp.int32).at[:, 0].set(start_id)
     finished = jnp.zeros((b, k), bool)

@@ -16,7 +16,12 @@ import jax
 import jax.numpy as jnp
 
 from mit_tpu.models.decoder import DecoderConfig
-from mit_tpu.decode.step import DecodeCache, decoder_step, init_cache
+from mit_tpu.decode.step import (
+    DecodeCache,
+    decoder_step,
+    init_cache,
+    prepare_decode_params,
+)
 
 
 @partial(
@@ -44,6 +49,8 @@ def greedy_generate(
     cache = init_cache(
         params, cfg, memory, memory_padding_mask, max_len, compute_dtype
     )
+    # cast + qkv-fuse weights once, outside the decode loop
+    params = prepare_decode_params(params, compute_dtype)
     tokens = jnp.full((b, max_len), pad_id, jnp.int32)
     tokens = tokens.at[:, 0].set(start_id)
     finished = jnp.zeros((b,), bool)

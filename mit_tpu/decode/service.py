@@ -47,14 +47,18 @@ def service_decode_step(
     cross_const: jnp.ndarray,   # (L, S, D)
     compute_dtype=jnp.float32,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """One token for every slot at its own position → (logits, k', v')."""
+    """One token for every slot at its own position → (logits, k', v').
+
+    ``params`` is the *prepared* pytree from
+    :func:`mit_tpu.decode.step.prepare_decode_params` (weights pre-cast and
+    qkv-fused once by the service at construction time).
+    """
     cd = compute_dtype
     L, s_slots, h, t_max, hd = k_cache.shape
     d = cfg.embed_dim
+    lay = params["layers"]
 
-    x = params["token_embedding"].astype(cd)[tokens] * jnp.asarray(
-        math.sqrt(d), cd
-    )
+    x = params["emb"][tokens] * jnp.asarray(math.sqrt(d), cd)
     pos_table = sinusoid_table(cfg.max_seq_len, d, dtype=cd)
     x = x + pos_table[jnp.clip(pos, 0, cfg.max_seq_len - 1)]
 
@@ -62,19 +66,12 @@ def service_decode_step(
     visible = jnp.arange(t_max)[None, None, :] <= pos[:, None, None]  # (S,1,T)
     write_mask = (jnp.arange(t_max)[None, :] == pos[:, None])         # (S,T)
     scale = jnp.asarray(1.0 / math.sqrt(hd), jnp.float32)
-    layers = params["layers"]
 
     for l in range(L):
-        sp = jax.tree.map(lambda a: a[l], layers["self"])
-        q = (x @ sp["wq"].astype(cd) + sp["bq"].astype(cd)).reshape(
-            s_slots, h, hd
-        )
-        k_t = (x @ sp["wk"].astype(cd) + sp["bk"].astype(cd)).reshape(
-            s_slots, h, hd
-        )
-        v_t = (x @ sp["wv"].astype(cd) + sp["bv"].astype(cd)).reshape(
-            s_slots, h, hd
-        )
+        qf, kf, vf = jnp.split(x @ lay["wqkv"][l] + lay["bqkv"][l], 3, -1)
+        q = qf.reshape(s_slots, h, hd)
+        k_t = kf.reshape(s_slots, h, hd)
+        v_t = vf.reshape(s_slots, h, hd)
         # scatter at per-slot positions via a one-hot select
         wm = write_mask[:, None, :, None]                  # (S,1,T,1)
         k_cache = k_cache.at[l].set(
@@ -93,19 +90,18 @@ def service_decode_step(
             "sht,shte->she", probs, v_cache[l],
             preferred_element_type=jnp.float32,
         ).astype(cd)
-        sa = ctx.reshape(s_slots, d) @ sp["wo"].astype(cd) + sp["bo"].astype(cd)
-        x = layer_norm(jax.tree.map(lambda a: a[l], layers["ln1"]), x + sa)
+        sa = ctx.reshape(s_slots, d) @ lay["wo"][l] + lay["bo"][l]
+        x = layer_norm(jax.tree.map(lambda a: a[l], lay["ln1"]), x + sa)
         x = layer_norm(
-            jax.tree.map(lambda a: a[l], layers["ln2"]),
+            jax.tree.map(lambda a: a[l], lay["ln2"]),
             x + cross_const[l].astype(cd),
         )
-        f = jax.tree.map(lambda a: a[l], layers["ffn"])
-        y = jax.nn.relu(x @ f["w1"].astype(cd) + f["b1"].astype(cd))
-        y = y @ f["w2"].astype(cd) + f["b2"].astype(cd)
-        x = layer_norm(jax.tree.map(lambda a: a[l], layers["ln3"]), x + y)
+        y = jax.nn.relu(x @ lay["w1"][l] + lay["b1"][l])
+        y = y @ lay["w2"][l] + lay["b2"][l]
+        x = layer_norm(jax.tree.map(lambda a: a[l], lay["ln3"]), x + y)
 
-    logits = x.astype(jnp.float32) @ params["fc_out_w"].astype(jnp.float32)
-    return logits + params["fc_out_b"], k_cache, v_cache
+    logits = x.astype(jnp.float32) @ params["fc_w"] + params["fc_b"]
+    return logits, k_cache, v_cache
 
 
 @partial(jax.jit, static_argnames=())
@@ -136,6 +132,12 @@ class CaptionService:
         self.S = num_slots
         self.T = max_len or cfg.max_seq_len
         self.cd = compute_dtype
+        from mit_tpu.decode.step import prepare_decode_params
+
+        # cast + qkv-fuse the decoder weights once for the whole service life
+        self._prepared = jax.jit(
+            lambda p: prepare_decode_params(p, compute_dtype)
+        )(captioner.params["decoder"])
         L, h, hd = cfg.num_layers, cfg.num_heads, cfg.embed_dim // cfg.num_heads
         self.k_cache = jnp.zeros((L, num_slots, h, self.T, hd), compute_dtype)
         self.v_cache = jnp.zeros((L, num_slots, h, self.T, hd), compute_dtype)
@@ -198,7 +200,7 @@ class CaptionService:
             return
         cur = self.tokens[np.arange(self.S), self.pos]
         logits, self.k_cache, self.v_cache = service_decode_step(
-            self.cap.params["decoder"], self.cfg,
+            self._prepared, self.cfg,
             jnp.asarray(cur), jnp.asarray(self.pos), jnp.asarray(self.active),
             self.k_cache, self.v_cache, self.cross, self.cd,
         )

@@ -88,6 +88,41 @@ def init_cache(
     return DecodeCache(k, v, None, ck, cv, cmask)
 
 
+def prepare_decode_params(params: dict, compute_dtype=jnp.float32) -> dict:
+    """Pre-cast weights to the compute dtype and fuse the Q/K/V projection.
+
+    Done ONCE per generation, *outside* the decode loop — leaving the casts
+    and concats inside the jitted while_loop body makes every step re-read
+    the fp32 weights and re-materialize the fused matrices (XLA's
+    loop-invariant code motion does not reliably hoist the large concats).
+    """
+    cd = compute_dtype
+    layers = params["layers"]
+    s = layers["self"]
+    c = layers["cross"]
+    f = layers["ffn"]
+    ln = lambda p: {
+        "scale": p["scale"].astype(jnp.float32),
+        "bias": p["bias"].astype(jnp.float32),
+    }
+    return {
+        "emb": params["token_embedding"].astype(cd),
+        "layers": {
+            "wqkv": jnp.concatenate([s["wq"], s["wk"], s["wv"]], -1).astype(cd),
+            "bqkv": jnp.concatenate([s["bq"], s["bk"], s["bv"]], -1).astype(cd),
+            "wo": s["wo"].astype(cd), "bo": s["bo"].astype(cd),
+            "cross_wq": c["wq"].astype(cd), "cross_bq": c["bq"].astype(cd),
+            "cross_wo": c["wo"].astype(cd), "cross_bo": c["bo"].astype(cd),
+            "w1": f["w1"].astype(cd), "b1": f["b1"].astype(cd),
+            "w2": f["w2"].astype(cd), "b2": f["b2"].astype(cd),
+            "ln1": ln(layers["ln1"]), "ln2": ln(layers["ln2"]),
+            "ln3": ln(layers["ln3"]),
+        },
+        "fc_w": params["fc_out_w"].astype(jnp.float32),
+        "fc_b": params["fc_out_b"].astype(jnp.float32),
+    }
+
+
 def decoder_step(
     params: dict,
     cfg: DecoderConfig,
@@ -96,7 +131,14 @@ def decoder_step(
     cache: DecodeCache,
     compute_dtype=jnp.float32,
 ) -> Tuple[jnp.ndarray, DecodeCache]:
-    """One decode step → (logits (B, V) fp32, updated cache)."""
+    """One decode step → (logits (B, V) fp32, updated cache).
+
+    Accepts raw decoder params or the output of
+    :func:`prepare_decode_params` (loop callers pass prepared params so the
+    cast/fuse work happens once).
+    """
+    if "emb" not in params:
+        params = prepare_decode_params(params, compute_dtype)
     cd = compute_dtype
     L = cfg.num_layers
     h = cfg.num_heads
@@ -104,9 +146,9 @@ def decoder_step(
     hd = d // h
     b = tokens.shape[0]
     t_max = cache.k.shape[3]
-    layers = params["layers"]
+    lay = params["layers"]
 
-    x = params["token_embedding"].astype(cd)[tokens] * jnp.asarray(math.sqrt(d), cd)
+    x = params["emb"][tokens] * jnp.asarray(math.sqrt(d), cd)
     pos_table = sinusoid_table(cfg.max_seq_len, d, dtype=cd)
     x = x + jax.lax.dynamic_index_in_dim(pos_table, pos, keepdims=False)
 
@@ -117,10 +159,10 @@ def decoder_step(
     scale = jnp.asarray(1.0 / math.sqrt(hd), jnp.float32)
 
     for l in range(L):
-        sp = jax.tree.map(lambda a: a[l], layers["self"])
-        q = _split_heads_1(x @ sp["wq"].astype(cd) + sp["bq"].astype(cd), h)
-        k_t = _split_heads_1(x @ sp["wk"].astype(cd) + sp["bk"].astype(cd), h)
-        v_t = _split_heads_1(x @ sp["wv"].astype(cd) + sp["bv"].astype(cd), h)
+        qf, kf, vf = jnp.split(x @ lay["wqkv"][l] + lay["bqkv"][l], 3, axis=-1)
+        q = _split_heads_1(qf, h)
+        k_t = _split_heads_1(kf, h)
+        v_t = _split_heads_1(vf, h)
         k_cache = k_cache.at[l, :, :, pos, :].set(k_t)
         v_cache = v_cache.at[l, :, :, pos, :].set(v_t)
 
@@ -132,15 +174,16 @@ def decoder_step(
         ctx = jnp.einsum(
             "bht,bhte->bhe", probs, v_cache[l], preferred_element_type=jnp.float32
         ).astype(cd)
-        sa = ctx.reshape(b, d) @ sp["wo"].astype(cd) + sp["bo"].astype(cd)
-        x = layer_norm(jax.tree.map(lambda a: a[l], layers["ln1"]), x + sa)
+        sa = ctx.reshape(b, d) @ lay["wo"][l] + lay["bo"][l]
+        x = layer_norm(jax.tree.map(lambda a: a[l], lay["ln1"]), x + sa)
 
         # cross-attention
         if cache.cross_const is not None:
             ca = cache.cross_const[l]
         else:
-            cp = jax.tree.map(lambda a: a[l], layers["cross"])
-            qc = _split_heads_1(x @ cp["wq"].astype(cd) + cp["bq"].astype(cd), h)
+            qc = _split_heads_1(
+                x @ lay["cross_wq"][l] + lay["cross_bq"][l], h
+            )
             cs = jnp.einsum(
                 "bhe,bhse->bhs", qc, cache.cross_k[l],
                 preferred_element_type=jnp.float32,
@@ -152,16 +195,14 @@ def decoder_step(
                 "bhs,bhse->bhe", cprobs, cache.cross_v[l],
                 preferred_element_type=jnp.float32,
             ).astype(cd)
-            ca = cctx.reshape(b, d) @ cp["wo"].astype(cd) + cp["bo"].astype(cd)
-        x = layer_norm(jax.tree.map(lambda a: a[l], layers["ln2"]), x + ca)
+            ca = cctx.reshape(b, d) @ lay["cross_wo"][l] + lay["cross_bo"][l]
+        x = layer_norm(jax.tree.map(lambda a: a[l], lay["ln2"]), x + ca)
 
-        f = jax.tree.map(lambda a: a[l], layers["ffn"])
-        y = jax.nn.relu(x @ f["w1"].astype(cd) + f["b1"].astype(cd))
-        y = y @ f["w2"].astype(cd) + f["b2"].astype(cd)
-        x = layer_norm(jax.tree.map(lambda a: a[l], layers["ln3"]), x + y)
+        y = jax.nn.relu(x @ lay["w1"][l] + lay["b1"][l])
+        y = y @ lay["w2"][l] + lay["b2"][l]
+        x = layer_norm(jax.tree.map(lambda a: a[l], lay["ln3"]), x + y)
 
-    logits = x.astype(jnp.float32) @ params["fc_out_w"].astype(jnp.float32)
-    logits = logits + params["fc_out_b"]
+    logits = x.astype(jnp.float32) @ params["fc_w"] + params["fc_b"]
     return logits, DecodeCache(
         k_cache, v_cache, cache.cross_const, cache.cross_k, cache.cross_v,
         cache.cross_mask,

@@ -69,9 +69,21 @@ def multihead_attention(
     hd = d // num_heads
     cd = compute_dtype
 
-    q = (q_in.astype(cd) @ params["wq"].astype(cd)) + params["bq"].astype(cd)
-    k = (kv_in.astype(cd) @ params["wk"].astype(cd)) + params["bk"].astype(cd)
-    v = (kv_in.astype(cd) @ params["wv"].astype(cd)) + params["bv"].astype(cd)
+    if q_in is kv_in:
+        # self-attention: one fused (D, 3D) projection — 3x the matmul N dim
+        # for better MXU utilization and fewer kernel launches; the weight
+        # concat is loop-invariant and folded once by XLA
+        wqkv = jnp.concatenate(
+            [params["wq"], params["wk"], params["wv"]], axis=-1
+        ).astype(cd)
+        bqkv = jnp.concatenate(
+            [params["bq"], params["bk"], params["bv"]], axis=-1
+        ).astype(cd)
+        q, k, v = jnp.split(q_in.astype(cd) @ wqkv + bqkv, 3, axis=-1)
+    else:
+        q = (q_in.astype(cd) @ params["wq"].astype(cd)) + params["bq"].astype(cd)
+        k = (kv_in.astype(cd) @ params["wk"].astype(cd)) + params["bk"].astype(cd)
+        v = (kv_in.astype(cd) @ params["wv"].astype(cd)) + params["bv"].astype(cd)
 
     qh = _split_heads(q, num_heads)  # (B, H, T, hd)
     kh = _split_heads(k, num_heads)  # (B, H, S, hd)

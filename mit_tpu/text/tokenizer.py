@@ -129,9 +129,9 @@ class Tokenizer:
 
 
 # ----------------------------------------------------------------------
-# Training (delegates to the HF `tokenizers` library; output format is the
-# interchange contract, and our encoder is bit-identity-tested against it).
-# Reference: tokenizer.py:181-241.
+# Training (first-party trainer — text/train_bpe.py — emitting the HF
+# interchange format; bit-identity with the HF library trainer is enforced
+# in tests/test_train_bpe.py). Reference: tokenizer.py:181-241.
 # ----------------------------------------------------------------------
 def train_tokenizer(
     captions_iterator: Iterator[str],
@@ -145,24 +145,18 @@ def train_tokenizer(
     Matches reference tokenizer.py:193-209: ``min_frequency=2`` and special
     tokens registered in the order [PAD, UNK, START, END].
     """
-    from tokenizers import ByteLevelBPETokenizer
+    from mit_tpu.text.train_bpe import train_bpe_files
 
-    tok = ByteLevelBPETokenizer()
-    tok.train_from_iterator(
+    train_bpe_files(
         captions_iterator,
-        vocab_size=vocab_size,
+        vocab_size,
+        vocab_path,
+        merges_path,
+        special_tokens=[
+            cfg.PAD_TOKEN, cfg.UNK_TOKEN, cfg.START_TOKEN, cfg.END_TOKEN,
+        ],
         min_frequency=2,
-        special_tokens=[cfg.PAD_TOKEN, cfg.UNK_TOKEN, cfg.START_TOKEN, cfg.END_TOKEN],
     )
-    out_dir = os.path.dirname(vocab_path) or "."
-    os.makedirs(out_dir, exist_ok=True)
-    tok.save_model(out_dir)
-    default_vocab = os.path.join(out_dir, "vocab.json")
-    default_merges = os.path.join(out_dir, "merges.txt")
-    if os.path.abspath(default_vocab) != os.path.abspath(vocab_path):
-        os.replace(default_vocab, vocab_path)
-    if os.path.abspath(default_merges) != os.path.abspath(merges_path):
-        os.replace(default_merges, merges_path)
 
     global _tokenizer_instance
     with _lock:
