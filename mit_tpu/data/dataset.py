@@ -193,6 +193,26 @@ def collate(items: Sequence[Dict], pad_id: int, batch_size: int) -> Dict:
     }
 
 
+def prefetch_to_device(iterator, transform=None, depth: int = 2):
+    """Keep ``depth`` transformed batches in flight ahead of the consumer.
+
+    JAX dispatch is async, so simply *issuing* the device_put/transform for
+    the next batch before yielding the current one overlaps host batch
+    assembly + H2D transfer with device compute (the reference relies on
+    DataLoader workers + pinned memory for the same overlap,
+    reference train.py:282-297).
+    """
+    import collections
+
+    buf = collections.deque()
+    for item in iterator:
+        buf.append(transform(item) if transform else item)
+        if len(buf) >= depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 class Loader:
     """Prefetching batch iterator over a dataset subset.
 

@@ -213,18 +213,22 @@ def train(
     rng, step_rng = jax.random.split(rng)
     summary = {"epochs": [], "best_val_loss": best_val_loss, "best_checkpoint": None}
 
+    from mit_tpu.data.dataset import prefetch_to_device
+
+    step_keys = ("images", "features", "decoder_input_tokens", "target_tokens")
+
+    def to_device(batch):
+        batch = attach_features(batch, cache)
+        return {k: jnp.asarray(v) for k, v in batch.items() if k in step_keys}
+
     for epoch in range(start_epoch, cfg.NUM_EPOCHS):
         t0 = time.time()
         total_loss, n_batches = 0.0, 0
-        for i, batch in enumerate(train_loader):
+        # device_put for batch i+1 is issued before step i's result is
+        # consumed: host assembly + H2D transfer overlap device compute
+        for i, arrays in enumerate(prefetch_to_device(train_loader, to_device)):
             if max_steps_per_epoch and i >= max_steps_per_epoch:
                 break
-            batch = attach_features(batch, cache)
-            arrays = {
-                k: jnp.asarray(v)
-                for k, v in batch.items()
-                if k in ("images", "features", "decoder_input_tokens", "target_tokens")
-            }
             state, loss = train_step(state, step_frozen, arrays, step_rng)
             loss = float(loss)
             total_loss += loss
@@ -235,10 +239,11 @@ def train(
         train_loss = total_loss / max(1, n_batches)
         dur = time.time() - t0
         sps = n_batches / max(dur, 1e-9)
+        ips = sps * cfg.BATCH_SIZE
         print(f"Epoch {epoch + 1}/{cfg.NUM_EPOCHS} | Train loss {train_loss:.4f} "
-              f"| {dur:.1f}s ({sps:.2f} steps/s)")
+              f"| {dur:.1f}s ({sps:.2f} steps/s, {ips:.0f} images/s)")
         log({"epoch_train_loss": train_loss, "epoch": epoch + 1,
-             "epoch_duration_seconds": dur})
+             "epoch_duration_seconds": dur, "train_images_per_sec": ips})
 
         epoch_summary = {"epoch": epoch + 1, "train_loss": train_loss}
 
