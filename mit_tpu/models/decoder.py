@@ -144,9 +144,9 @@ def decoder_forward(
     auto-enables the fused attention kernel on TPU.
     """
     if use_pallas is None:
-        from mit_tpu.ops.pallas_attention import on_tpu
+        from mit_tpu.ops.pallas_attention import pallas_enabled
 
-        use_pallas = on_tpu()
+        use_pallas = pallas_enabled()
     b, t = tgt_tokens.shape
     d = cfg.embed_dim
     cd = compute_dtype

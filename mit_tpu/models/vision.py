@@ -180,9 +180,9 @@ def vision_forward(
     ``use_pallas=None`` auto-enables the fused attention kernel on TPU.
     """
     if use_pallas is None:
-        from mit_tpu.ops.pallas_attention import on_tpu
+        from mit_tpu.ops.pallas_attention import pallas_enabled
 
-        use_pallas = on_tpu()
+        use_pallas = pallas_enabled()
     cd = compute_dtype
     eps = cfg.layer_norm_eps
     b = pixel_values.shape[0]

@@ -23,6 +23,7 @@ them on CPU; `use_pallas()` gates the fast path at runtime.
 from __future__ import annotations
 
 import functools
+import os
 import math
 
 import jax
@@ -39,6 +40,28 @@ def on_tpu() -> bool:
         return jax.devices()[0].platform == "tpu"
     except Exception:
         return False
+
+
+_FORCED: bool = None
+
+
+def set_pallas_enabled(value) -> None:
+    """Force the fused kernels on/off (None = auto: on when on TPU).
+
+    Multi-chip note: pallas_call does not auto-partition under GSPMD; until
+    the kernels are shard_map-wrapped, disable them for sharded multi-chip
+    execution (single-chip and CPU-interpret paths are unaffected).
+    """
+    global _FORCED
+    _FORCED = value
+
+
+def pallas_enabled() -> bool:
+    if os.environ.get("MIT_PALLAS") == "0":
+        return False
+    if _FORCED is not None:
+        return _FORCED
+    return on_tpu()
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, pad_ref, o_ref, *, scale: float,
