@@ -292,6 +292,18 @@ def train(
                 print(f"Val loss {val_loss:.4f} did not improve on "
                       f"{best_val_loss:.4f}; not saving.")
 
+        # crash recovery: always checkpoint the latest completed epoch
+        # (best-val checkpointing alone can lose many epochs on a failure —
+        # the reference's only recovery is manual RESUME_CHECKPOINT_PATH,
+        # reference config.py:104)
+        try:
+            ckpt.save_train_state(
+                os.path.join(cfg.OUTPUT_DIR, "latest"), state, epoch,
+                best_val_loss, cfg,
+            )
+        except Exception as e:
+            print(f"Warning: periodic train-state save failed: {e}")
+
         summary["epochs"].append(epoch_summary)
 
     summary["best_val_loss"] = best_val_loss
