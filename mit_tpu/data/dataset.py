@@ -231,9 +231,17 @@ class Loader:
         num_workers: int = 2,
         prefetch: int = 4,
         drop_last: bool = False,
+        shard_index: int = 0,
+        shard_count: int = 1,
     ):
+        """``shard_index``/``shard_count`` partition the index set across
+        hosts for multi-host data-parallel training (each process loads a
+        disjoint 1/Nth of the data; the device mesh handles the rest)."""
         self.dataset = dataset
-        self.indices = np.asarray(indices)
+        indices = np.asarray(indices)
+        if shard_count > 1:
+            indices = indices[shard_index::shard_count]
+        self.indices = indices
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed

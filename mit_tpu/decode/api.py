@@ -76,14 +76,17 @@ class Captioner:
         max_len: int = 100,
         method: str = "greedy",
         beam_size: int = 3,
+        **sample_kwargs,
     ) -> List[int]:
         """Single-image token generation (reference model.py:171 surface).
 
         Returns the ID list including START and (if produced) END, exactly
-        like the reference's greedy loop output.
+        like the reference's greedy loop output. ``method='sample'`` accepts
+        temperature / top_k / top_p / rng keyword arguments.
         """
         ids = self.generate_batch(
-            [image], start_token_id, end_token_id, max_len, method, beam_size
+            [image], start_token_id, end_token_id, max_len, method, beam_size,
+            **sample_kwargs,
         )[0]
         return ids
 
@@ -95,10 +98,12 @@ class Captioner:
         max_len: int = 100,
         method: str = "greedy",
         beam_size: int = 3,
+        **sample_kwargs,
     ) -> List[List[int]]:
         memory = self.memory_from_images(images)
         return self.generate_from_memory(
-            memory, start_token_id, end_token_id, max_len, method, beam_size
+            memory, start_token_id, end_token_id, max_len, method, beam_size,
+            **sample_kwargs,
         )
 
     def generate_from_memory(
@@ -109,6 +114,10 @@ class Captioner:
         max_len: int = 100,
         method: str = "greedy",
         beam_size: int = 3,
+        temperature: float = 1.0,
+        top_k: int = 0,
+        top_p: float = 1.0,
+        rng: Optional[jax.Array] = None,
     ) -> List[List[int]]:
         tok = self.tokenizer
         start_id = tok.start_id if start_token_id is None else start_token_id
@@ -125,10 +134,20 @@ class Captioner:
                 max_len, beam_size, compute_dtype=self.compute_dtype,
             )
             lengths = jnp.sum(tokens != tok.pad_id, axis=1)
+        elif method == "sample":
+            from mit_tpu.decode.sampling import sample_generate
+
+            tokens, lengths = sample_generate(
+                dec, self.mcfg.decoder, memory,
+                rng if rng is not None else jax.random.PRNGKey(0),
+                start_id, end_id, tok.pad_id, max_len,
+                temperature=temperature, top_k=top_k, top_p=top_p,
+                compute_dtype=self.compute_dtype,
+            )
         else:
             raise ValueError(
                 f"Unsupported generation method: {method}. "
-                "Choose 'greedy' or 'beam'."
+                "Choose 'greedy', 'beam' or 'sample'."
             )
         tokens = np.asarray(tokens)
         lengths = np.asarray(lengths)

@@ -1,0 +1,105 @@
+"""Stochastic decoding: temperature / top-k / top-p sampling.
+
+Beyond the reference's surface (greedy + beam placeholder, reference
+model.py:218-255) — a serving framework needs stochastic decoding for
+caption diversity. Same KV-cached machinery as greedy; the token choice is
+a categorical draw over a filtered, temperature-scaled distribution.
+
+All filtering happens with static shapes: top-k via ``lax.top_k`` + value
+threshold, top-p via sorted cumulative mass with the standard
+"keep the first token that crosses p" rule.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mit_tpu.models.decoder import DecoderConfig
+from mit_tpu.decode.step import decoder_step, init_cache, prepare_decode_params
+
+_NEG = -1e30
+
+
+def filter_logits(
+    logits: jnp.ndarray,               # (B, V) fp32
+    temperature: float = 1.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+) -> jnp.ndarray:
+    """Scale by temperature, then mask everything outside top-k / top-p."""
+    if temperature != 1.0:
+        logits = logits / jnp.maximum(temperature, 1e-6)
+    if top_k and top_k > 0:
+        kth = jax.lax.top_k(logits, top_k)[0][:, -1:]
+        logits = jnp.where(logits < kth, _NEG, logits)
+    if top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep tokens while the mass *before* them is < p (always ≥ 1 token)
+        keep_sorted = (cum - probs) < top_p
+        # threshold logit = smallest kept logit per row
+        thresh = jnp.min(
+            jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1, keepdims=True
+        )
+        logits = jnp.where(logits < thresh, _NEG, logits)
+    return logits
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "start_id", "end_id", "pad_id", "max_len",
+                     "temperature", "top_k", "top_p", "compute_dtype"),
+)
+def sample_generate(
+    params: dict,
+    cfg: DecoderConfig,
+    memory: jnp.ndarray,               # (B, S, D)
+    rng: jax.Array,
+    start_id: int,
+    end_id: int,
+    pad_id: int,
+    max_len: int,
+    temperature: float = 1.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+    memory_padding_mask: Optional[jnp.ndarray] = None,
+    compute_dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """→ (tokens (B, max_len), lengths (B,)); greedy loop with a sampled
+    next-token rule. temperature=0 degenerates to argmax (greedy)."""
+    b = memory.shape[0]
+    cache = init_cache(params, cfg, memory, memory_padding_mask, max_len,
+                       compute_dtype)
+    prepared = prepare_decode_params(params, compute_dtype)
+    tokens = jnp.full((b, max_len), pad_id, jnp.int32).at[:, 0].set(start_id)
+    finished = jnp.zeros((b,), bool)
+
+    def cond(state):
+        pos, tokens, finished, cache, rng = state
+        return jnp.logical_and(pos < max_len - 1, ~jnp.all(finished))
+
+    def body(state):
+        pos, tokens, finished, cache, rng = state
+        cur = jax.lax.dynamic_index_in_dim(tokens, pos, axis=1, keepdims=False)
+        logits, cache = decoder_step(prepared, cfg, cur, pos, cache,
+                                     compute_dtype)
+        if temperature == 0.0:
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        else:
+            filtered = filter_logits(logits, temperature, top_k, top_p)
+            rng, sub = jax.random.split(rng)
+            nxt = jax.random.categorical(sub, filtered).astype(jnp.int32)
+        nxt = jnp.where(finished, pad_id, nxt)
+        tokens = tokens.at[:, pos + 1].set(nxt)
+        finished = jnp.logical_or(finished, nxt == end_id)
+        return pos + 1, tokens, finished, cache, rng
+
+    _, tokens, _, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), tokens, finished, cache, rng)
+    )
+    return tokens, jnp.sum(tokens != pad_id, axis=1)

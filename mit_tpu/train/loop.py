@@ -283,6 +283,22 @@ def train(
                 )
                 print(f"Checkpoint saved: {st_path} (val loss {val_loss:.4f})")
                 summary["best_checkpoint"] = st_path
+                if wandb_run:  # model artifact (reference train.py:445-455)
+                    try:
+                        import wandb
+
+                        art = wandb.Artifact(
+                            f"{cfg.WANDB_RUN_NAME or 'model'}-epoch{epoch + 1}",
+                            type="model",
+                            description=(
+                                f"Checkpoint at epoch {epoch + 1}, "
+                                f"val loss {val_loss:.4f}"
+                            ),
+                        )
+                        art.add_file(st_path)
+                        wandb_run.log_artifact(art)
+                    except Exception as e:
+                        print(f"wandb artifact logging failed: {e}")
                 if hf_upload and cfg.HF_UPLOAD_BEST_CHECKPOINTS:
                     try:
                         hf_upload(st_path, os.path.basename(st_path))
