@@ -84,7 +84,10 @@ def beam_generate(
     def body(state):
         pos, tokens, scores, finished, cache = state
         cur = jax.lax.dynamic_index_in_dim(tokens, pos, axis=1, keepdims=False)
-        logits, cache = decoder_step(params, cfg, cur, pos, cache, compute_dtype)
+        logits, cache = decoder_step(
+            params, cfg, cur, pos, cache, compute_dtype,
+            key_pad=tokens == pad_id,
+        )
         logp = jax.nn.log_softmax(logits, axis=-1).reshape(b, k, v)
 
         # Finished beams: force PAD continuation at zero incremental score.
@@ -109,11 +112,11 @@ def beam_generate(
         cond, body, (jnp.asarray(0, jnp.int32), tokens, scores, finished, cache)
     )
 
-    # Prefer finished beams; among them, highest score.
-    pick_scores = jnp.where(finished, scores, scores + _NEG)
-    any_finished = jnp.any(finished, axis=1)
-    pick_scores = jnp.where(any_finished[:, None], pick_scores, scores)
-    best = jnp.argmax(pick_scores, axis=1)               # (B,)
+    # Final hypothesis = highest total log-probability, finished or not:
+    # finished beams stopped accumulating (PAD extensions at score 0), so
+    # raw sums compare fairly — the same rule HF-style beam search applies
+    # when unfinished beams reach max length (no length penalty).
+    best = jnp.argmax(scores, axis=1)                    # (B,)
     rows = jnp.arange(b) * k + best
     return jnp.take(tokens, rows, axis=0), jnp.take_along_axis(
         scores, best[:, None], axis=1

@@ -62,7 +62,10 @@ def greedy_generate(
     def body(state):
         pos, tokens, finished, cache = state
         cur = jax.lax.dynamic_index_in_dim(tokens, pos, axis=1, keepdims=False)
-        logits, cache = decoder_step(params, cfg, cur, pos, cache, compute_dtype)
+        logits, cache = decoder_step(
+            params, cfg, cur, pos, cache, compute_dtype,
+            key_pad=tokens == pad_id,
+        )
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         nxt = jnp.where(finished, pad_id, nxt)
         tokens = tokens.at[:, pos + 1].set(nxt)

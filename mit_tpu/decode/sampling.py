@@ -87,7 +87,7 @@ def sample_generate(
         pos, tokens, finished, cache, rng = state
         cur = jax.lax.dynamic_index_in_dim(tokens, pos, axis=1, keepdims=False)
         logits, cache = decoder_step(prepared, cfg, cur, pos, cache,
-                                     compute_dtype)
+                                     compute_dtype, key_pad=tokens == pad_id)
         if temperature == 0.0:
             nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         else:

@@ -42,6 +42,8 @@ def service_decode_step(
     tokens: jnp.ndarray,        # (S,) current token per slot
     pos: jnp.ndarray,           # (S,) int32 decode position per slot
     active: jnp.ndarray,        # (S,) bool
+    key_pad: jnp.ndarray,       # (S, T) bool — PAD keys to mask (reference
+                                # rebuilds tgt_key_padding_mask each step)
     k_cache: jnp.ndarray,       # (L, S, H, T, hd)
     v_cache: jnp.ndarray,
     cross_const: jnp.ndarray,   # (L, S, D)
@@ -62,8 +64,9 @@ def service_decode_step(
     pos_table = sinusoid_table(cfg.max_seq_len, d, dtype=cd)
     x = x + pos_table[jnp.clip(pos, 0, cfg.max_seq_len - 1)]
 
-    # per-slot visibility: key j visible iff j <= pos[slot]
+    # per-slot visibility: key j visible iff j <= pos[slot] and not PAD
     visible = jnp.arange(t_max)[None, None, :] <= pos[:, None, None]  # (S,1,T)
+    visible = jnp.logical_and(visible, ~key_pad[:, None, :])
     write_mask = (jnp.arange(t_max)[None, :] == pos[:, None])         # (S,T)
     scale = jnp.asarray(1.0 / math.sqrt(hd), jnp.float32)
 
@@ -202,6 +205,7 @@ class CaptionService:
         logits, self.k_cache, self.v_cache = service_decode_step(
             self._prepared, self.cfg,
             jnp.asarray(cur), jnp.asarray(self.pos), jnp.asarray(self.active),
+            jnp.asarray(self.tokens == self.cap.tokenizer.pad_id),
             self.k_cache, self.v_cache, self.cross, self.cd,
         )
         nxt = np.asarray(jnp.argmax(logits, axis=-1), np.int32)

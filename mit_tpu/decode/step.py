@@ -130,12 +130,18 @@ def decoder_step(
     pos: jnp.ndarray,                  # scalar int32 position of `tokens`
     cache: DecodeCache,
     compute_dtype=jnp.float32,
+    key_pad: Optional[jnp.ndarray] = None,   # (B, T_max) bool, True = PAD key
 ) -> Tuple[jnp.ndarray, DecodeCache]:
     """One decode step → (logits (B, V) fp32, updated cache).
 
     Accepts raw decoder params or the output of
     :func:`prepare_decode_params` (loop callers pass prepared params so the
     cast/fuse work happens once).
+
+    ``key_pad`` marks generated-PAD positions to exclude as attention keys —
+    the reference rebuilds ``tgt_key_padding_mask`` from the growing prefix
+    every step (reference decoder.py:162 via model.py:224), so a mid-sequence
+    PAD emission must stay masked here too for exact equivalence.
     """
     if "emb" not in params:
         params = prepare_decode_params(params, compute_dtype)
@@ -152,8 +158,10 @@ def decoder_step(
     pos_table = sinusoid_table(cfg.max_seq_len, d, dtype=cd)
     x = x + jax.lax.dynamic_index_in_dim(pos_table, pos, keepdims=False)
 
-    # visibility mask over cache positions: j <= pos
+    # visibility mask over cache positions: j <= pos, minus PAD keys
     visible = (jnp.arange(t_max) <= pos)[None, None, :]  # (1,1,T)
+    if key_pad is not None:
+        visible = jnp.logical_and(visible, ~key_pad[:, None, :])  # (B,1,T)
 
     k_cache, v_cache = cache.k, cache.v
     scale = jnp.asarray(1.0 / math.sqrt(hd), jnp.float32)
