@@ -9,8 +9,11 @@ placeholder that falls back to greedy. This is the real implementation:
 - finished beams are frozen: they only ever extend with PAD at score 0, so
   their totals stay comparable while alive beams keep expanding;
 - beam reordering gathers the KV cache along the batch axis each step;
-- returns the highest-scoring finished beam (or best alive beam if none
-  finished within ``max_len``), matching greedy's output format.
+- the returned hypothesis is the highest total log-probability beam across
+  finished and max-length-unfinished candidates (HF semantics, no length
+  penalty), in greedy's output format — verified globally optimal against
+  brute-force enumeration when the width covers the whole frontier
+  (tests/test_beam_optimality.py).
 
 With ``beam_size=1`` this reduces exactly to greedy decoding (tested).
 """

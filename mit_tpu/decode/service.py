@@ -211,14 +211,14 @@ class CaptionService:
         nxt = np.asarray(jnp.argmax(logits, axis=-1), np.int32)
         self.steps_run += 1
         end_id = self.cap.tokenizer.end_id
-        for slot in range(self.S):
-            if not self.active[slot]:
-                continue
-            p = self.pos[slot] + 1
-            self.tokens[slot, p] = nxt[slot]
-            self.pos[slot] = p
-            if nxt[slot] == end_id or p >= self.T - 1:
-                self._finish(slot)
+        # vectorized host bookkeeping for active slots
+        act = self.active
+        p = self.pos + 1
+        self.tokens[np.where(act)[0], p[act]] = nxt[act]
+        self.pos[act] = p[act]
+        done = act & ((nxt == end_id) | (p >= self.T - 1))
+        for slot in np.where(done)[0]:
+            self._finish(int(slot))
 
     # ------------------------------------------------------------------
     def run_to_completion(self, max_steps: int = 100000) -> Dict[int, List[int]]:
