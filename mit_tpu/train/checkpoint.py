@@ -19,7 +19,6 @@ import os
 import re
 from typing import Optional, Tuple
 
-import jax
 import numpy as np
 
 from mit_tpu.config import Config

@@ -16,7 +16,6 @@ Two step flavors:
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
