@@ -62,8 +62,9 @@ def multihead_attention(
     Fast path: with ``use_flash`` the score/mask/softmax/PV chain runs in the
     fused Pallas kernel (ops/pallas_attention.py); the mask is then expressed
     structurally as ``causal`` + per-key ``pad_add`` (B, S) instead of a
-    materialized ``mask`` tensor. Falls back to the XLA path when
-    attention-prob dropout is active (the kernel is dropout-free).
+    materialized ``mask`` tensor. With active attention-prob dropout the
+    dropout-fused kernel variant runs (hash-PRNG mask, identical in the
+    fused backward).
     """
     d = q_in.shape[-1]
     hd = d // num_heads
@@ -90,12 +91,27 @@ def multihead_attention(
     vh = _split_heads(v, num_heads)
 
     dropout_active = dropout_rate > 0.0 and not deterministic
-    if use_flash and not dropout_active:
-        from mit_tpu.ops.pallas_attention import flash_attention
-
+    if use_flash:
         if pad_add is None:
             pad_add = jnp.zeros((kv_in.shape[0], kv_in.shape[1]), jnp.float32)
-        ctx = flash_attention(qh, kh, vh, pad_add, causal)
+        if dropout_active:
+            # in-kernel dropout: mask generated from a hash PRNG stream
+            # seeded per call (statistically equivalent to the XLA path's
+            # jax.random.bernoulli, not bitwise-identical to it)
+            from mit_tpu.ops.pallas_dropout_attention import (
+                flash_attention_dropout,
+            )
+
+            seed = jax.random.randint(
+                rng, (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+            )
+            ctx = flash_attention_dropout(
+                qh, kh, vh, pad_add, seed, causal, float(dropout_rate)
+            )
+        else:
+            from mit_tpu.ops.pallas_attention import flash_attention
+
+            ctx = flash_attention(qh, kh, vh, pad_add, causal)
         out = _merge_heads(ctx)
         return (out @ params["wo"].astype(cd)) + params["bo"].astype(cd)
 

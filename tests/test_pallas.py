@@ -85,8 +85,9 @@ def test_vision_forward_pallas_equals_xla():
                                rtol=1e-5, atol=1e-5)
 
 
-def test_flash_with_dropout_falls_back():
-    """Training with attention dropout must still work (XLA fallback)."""
+def test_flash_with_dropout_trains():
+    """Training with attention dropout runs through the dropout-fused
+    kernel (pallas_dropout_attention) and stays finite."""
     cfg = DecoderConfig(vocab_size=50, embed_dim=32, num_heads=4,
                         num_layers=1, ff_dim=48, max_seq_len=20,
                         dropout=0.3, pad_idx=0)
