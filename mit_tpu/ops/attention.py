@@ -91,13 +91,19 @@ def multihead_attention(
     vh = _split_heads(v, num_heads)
 
     dropout_active = dropout_rate > 0.0 and not deterministic
-    if use_flash:
+    # Dropout-active training defaults to the XLA path: measured on v5e the
+    # autodiff backward (which reuses stored probabilities) beats the fused
+    # kernel pair (~2670 vs ~2440 train img/s) because the fused backward
+    # recomputes the forward, and activation memory is not the constraint at
+    # these shapes. MIT_FUSED_DROPOUT=1 opts into the fused kernels where
+    # memory matters more than FLOPs.
+    import os
+
+    fused_dropout = os.environ.get("MIT_FUSED_DROPOUT") == "1"
+    if use_flash and (not dropout_active or fused_dropout):
         if pad_add is None:
             pad_add = jnp.zeros((kv_in.shape[0], kv_in.shape[1]), jnp.float32)
         if dropout_active:
-            # in-kernel dropout: mask generated from a hash PRNG stream
-            # seeded per call (statistically equivalent to the XLA path's
-            # jax.random.bernoulli, not bitwise-identical to it)
             from mit_tpu.ops.pallas_dropout_attention import (
                 flash_attention_dropout,
             )
