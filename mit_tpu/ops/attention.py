@@ -70,10 +70,23 @@ def multihead_attention(
     hd = d // num_heads
     cd = compute_dtype
 
-    if q_in is kv_in:
-        # self-attention: one fused (D, 3D) projection — 3x the matmul N dim
-        # for better MXU utilization and fewer kernel launches; the weight
-        # concat is loop-invariant and folded once by XLA
+    dropout_active = dropout_rate > 0.0 and not deterministic
+    # Dropout-active training defaults to the XLA path: measured on v5e the
+    # autodiff backward (which reuses stored probabilities) beats the fused
+    # kernel pair (~2670 vs ~2440 train img/s) because the fused backward
+    # recomputes the forward, and activation memory is not the constraint at
+    # these shapes. MIT_FUSED_DROPOUT=1 opts into the fused kernels where
+    # memory matters more than FLOPs.
+    import os
+
+    fused_dropout = os.environ.get("MIT_FUSED_DROPOUT") == "1"
+    flash_path = use_flash and (not dropout_active or fused_dropout)
+
+    if q_in is kv_in and not flash_path:
+        # self-attention on the XLA path: one fused (D, 3D) projection — 3x
+        # the matmul N dim, fewer launches. NOT used before the Pallas
+        # kernels: the split outputs force layout copies ahead of
+        # pallas_call that cost more than the fusion saves (measured).
         wqkv = jnp.concatenate(
             [params["wq"], params["wk"], params["wv"]], axis=-1
         ).astype(cd)
@@ -90,17 +103,7 @@ def multihead_attention(
     kh = _split_heads(k, num_heads)  # (B, H, S, hd)
     vh = _split_heads(v, num_heads)
 
-    dropout_active = dropout_rate > 0.0 and not deterministic
-    # Dropout-active training defaults to the XLA path: measured on v5e the
-    # autodiff backward (which reuses stored probabilities) beats the fused
-    # kernel pair (~2670 vs ~2440 train img/s) because the fused backward
-    # recomputes the forward, and activation memory is not the constraint at
-    # these shapes. MIT_FUSED_DROPOUT=1 opts into the fused kernels where
-    # memory matters more than FLOPs.
-    import os
-
-    fused_dropout = os.environ.get("MIT_FUSED_DROPOUT") == "1"
-    if use_flash and (not dropout_active or fused_dropout):
+    if flash_path:
         if pad_add is None:
             pad_add = jnp.zeros((kv_in.shape[0], kv_in.shape[1]), jnp.float32)
         if dropout_active:
