@@ -99,7 +99,9 @@ def config_for_encoder(name: str) -> VisionConfig:
     """Name-substring dispatch, mirroring reference model.py:34-55.
 
     Exact preset names win; otherwise "blip" / "clip" / fallback "vit"
-    substring rules pick the family with default ViT-Base geometry.
+    substring rules pick the family with default ViT-Base geometry. For
+    nonstandard geometries, build from the HF config object instead
+    (:func:`config_from_hf`).
     """
     if name in PRESETS:
         return PRESETS[name]
@@ -109,6 +111,37 @@ def config_for_encoder(name: str) -> VisionConfig:
     if "clip" in low:
         return PRESETS["openai/clip-vit-base-patch32"]
     return PRESETS["google/vit-base-patch16-224-in21k"]
+
+
+def config_from_hf(hf_config, family: Optional[str] = None) -> VisionConfig:
+    """Build a VisionConfig from a transformers config object.
+
+    The automatic hidden-dim discovery of reference model.py:59-66: accepts
+    ViTConfig / CLIPVisionConfig / BlipVisionConfig, or a composite
+    CLIP/BLIP config (takes its ``vision_config`` — the reference's
+    ``vision_config`` fallback). ``family`` is inferred from the config
+    class name when omitted.
+    """
+    if hasattr(hf_config, "vision_config"):
+        hf_config = hf_config.vision_config
+    if family is None:
+        cls = type(hf_config).__name__.lower()
+        family = "blip" if "blip" in cls else "clip" if "clip" in cls else "vit"
+    base = {
+        "vit": PRESETS["google/vit-base-patch16-224-in21k"],
+        "clip": PRESETS["openai/clip-vit-base-patch32"],
+        "blip": PRESETS["Salesforce/blip-image-captioning-base"],
+    }[family]
+    return base._replace(
+        image_size=hf_config.image_size,
+        patch_size=hf_config.patch_size,
+        hidden_size=hf_config.hidden_size,
+        num_layers=hf_config.num_hidden_layers,
+        num_heads=hf_config.num_attention_heads,
+        intermediate_size=hf_config.intermediate_size,
+        hidden_act=getattr(hf_config, "hidden_act", base.hidden_act),
+        layer_norm_eps=getattr(hf_config, "layer_norm_eps", base.layer_norm_eps),
+    )
 
 
 # ----------------------------------------------------------------------

@@ -171,7 +171,8 @@ def train(
     trainable, frozen = split_trainable(params)
 
     steps_per_epoch = len(train_loader)
-    optimizer, _ = make_optimizer(cfg, steps_per_epoch)
+    optimizer, schedule = make_optimizer(cfg, steps_per_epoch)
+    lr_at = schedule if callable(schedule) else (lambda step: schedule)
     state = init_train_state(trainable, optimizer)
 
     # --- frozen-feature cache (encoder leaves the train step entirely) ---
@@ -235,7 +236,11 @@ def train(
             n_batches += 1
             gstep = int(state.step)
             if gstep % cfg.LOG_INTERVAL == 0:
-                log({"train_batch_loss": loss, "global_step": gstep})
+                # per-step loss + lr, the reference's wandb surface
+                # (reference train.py:115-120)
+                log({"train_batch_loss": loss,
+                     "learning_rate": float(lr_at(gstep)),
+                     "global_step": gstep})
         train_loss = total_loss / max(1, n_batches)
         dur = time.time() - t0
         sps = n_batches / max(dur, 1e-9)

@@ -113,3 +113,29 @@ def test_preset_shapes():
     assert c.seq_len == 197          # reference encoder.py:140 documents (1,197,768)
     c = config_for_encoder("openai/clip-vit-base-patch32")
     assert c.seq_len == 50           # reference encoder.py:157 documents (1,50,768)
+
+
+def test_config_from_hf_discovery():
+    """Hidden-dim discovery from HF config objects (reference model.py:59-66),
+    incl. the composite-config vision_config fallback."""
+    from transformers import CLIPConfig, CLIPVisionConfig, ViTConfig
+
+    from mit_tpu.models.vision import config_from_hf
+
+    v = config_from_hf(ViTConfig(hidden_size=384, num_hidden_layers=6,
+                                 num_attention_heads=6, intermediate_size=1536,
+                                 image_size=160, patch_size=16))
+    assert v.family == "vit" and v.hidden_size == 384 and v.num_layers == 6
+    assert v.seq_len == 101
+
+    cv = config_from_hf(CLIPVisionConfig(hidden_size=512, num_hidden_layers=8,
+                                         num_attention_heads=8,
+                                         intermediate_size=2048,
+                                         image_size=224, patch_size=32))
+    assert cv.family == "clip" and cv.ln_pre and not cv.ln_post
+    assert cv.hidden_act == "quick_gelu"
+
+    # composite config → vision_config fallback
+    full = CLIPConfig()
+    c2 = config_from_hf(full)
+    assert c2.family == "clip" and c2.hidden_size == full.vision_config.hidden_size
