@@ -137,11 +137,18 @@ def decoder_forward(
     rng: Optional[jax.Array] = None,
     compute_dtype=jnp.float32,
     use_pallas: Optional[bool] = None,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Full-sequence forward → logits (B, T, V) in fp32.
 
     Equivalent of reference decoder.py:134-193 forward. ``use_pallas=None``
     auto-enables the fused attention kernel on TPU.
+
+    ``remat`` applies per-layer rematerialization (``jax.checkpoint`` on the
+    scanned layer body): activations inside each layer are recomputed in the
+    backward pass instead of stored — the standard HBM-for-FLOPs trade for
+    training configurations that don't fit otherwise (no reference
+    equivalent; torch would use ``torch.utils.checkpoint``).
     """
     if use_pallas is None:
         from mit_tpu.ops.pallas_attention import pallas_enabled
@@ -209,7 +216,8 @@ def decoder_forward(
         x = layer_norm(layer["ln3"], x + _dropout(y, drop, r5, deterministic))
         return (x, rng), None
 
-    (x, _), _ = jax.lax.scan(layer_body, (x, rng), params["layers"])
+    body = jax.checkpoint(layer_body) if remat else layer_body
+    (x, _), _ = jax.lax.scan(body, (x, rng), params["layers"])
 
     # Vocab projection in fp32 for a numerically stable softmax/loss.
     logits = x.astype(jnp.float32) @ params["fc_out_w"].astype(jnp.float32)

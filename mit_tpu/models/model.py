@@ -140,6 +140,7 @@ def forward_from_features(
     deterministic: bool = True,
     rng: Optional[jax.Array] = None,
     compute_dtype=jnp.float32,
+    remat: bool = False,
 ) -> jnp.ndarray:
     memory = project_features(params, mcfg, features, compute_dtype)
     return decoder_forward(
@@ -151,6 +152,7 @@ def forward_from_features(
         deterministic=deterministic,
         rng=rng,
         compute_dtype=compute_dtype,
+        remat=remat,
     )
 
 
@@ -162,9 +164,11 @@ def model_forward(
     deterministic: bool = True,
     rng: Optional[jax.Array] = None,
     compute_dtype=jnp.float32,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Teacher-forced forward → logits (B, T, V). Reference model.py:116-169."""
     features = encode_images(params, mcfg, pixel_values, compute_dtype)
     return forward_from_features(
-        params, mcfg, features, tgt_tokens, deterministic, rng, compute_dtype
+        params, mcfg, features, tgt_tokens, deterministic, rng, compute_dtype,
+        remat,
     )

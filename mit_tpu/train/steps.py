@@ -123,6 +123,7 @@ def make_train_step(
     compute_dtype=jnp.bfloat16,
     from_features: bool = False,
     donate: bool = True,
+    remat: bool = False,
 ):
     """Build the jitted train step.
 
@@ -139,11 +140,13 @@ def make_train_step(
             logits = forward_from_features(
                 params, mcfg, batch["features"], batch["decoder_input_tokens"],
                 deterministic=False, rng=rng, compute_dtype=compute_dtype,
+                remat=remat,
             )
         else:
             logits = model_forward(
                 params, mcfg, batch["images"], batch["decoder_input_tokens"],
                 deterministic=False, rng=rng, compute_dtype=compute_dtype,
+                remat=remat,
             )
         return masked_cross_entropy(logits, batch["target_tokens"], pad_id)
 

@@ -266,3 +266,24 @@ def test_resume_continues_from_checkpoint(tiny_corpus, monkeypatch):
     epochs = [e["epoch"] for e in summary["epochs"]]
     assert epochs[0] > 1, "resume must not restart from epoch 1"
     assert epochs[-1] == 3
+
+
+def test_remat_grads_equal_no_remat(tiny_state):
+    """Per-layer rematerialization must not change gradients."""
+    cfg, optimizer, state, frozen = tiny_state
+    import jax
+    import jax.numpy as jnp
+    from mit_tpu.train.steps import make_train_step
+
+    batch = _batch()
+    s_plain = make_train_step(MCFG, optimizer, 0, jnp.float32, donate=False)(
+        state, frozen, batch, jax.random.PRNGKey(0)
+    )
+    s_remat = make_train_step(MCFG, optimizer, 0, jnp.float32, donate=False,
+                              remat=True)(
+        state, frozen, batch, jax.random.PRNGKey(0)
+    )
+    assert abs(float(s_plain[1]) - float(s_remat[1])) < 1e-6
+    a = np.asarray(s_plain[0].params["decoder"]["fc_out_w"])
+    b = np.asarray(s_remat[0].params["decoder"]["fc_out_w"])
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
