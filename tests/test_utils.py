@@ -78,3 +78,13 @@ def test_encoder_tools_shapes():
         Image.new("RGB", (224, 224)), "google/vit-base-patch16-224-in21k"
     )
     assert feats.shape == (1, 197, 768)
+
+
+def test_alias_package_imports():
+    import multimodal_image_transformer_tpu as alias
+    import mit_tpu
+
+    assert alias.__version__ == mit_tpu.__version__
+    from multimodal_image_transformer_tpu.config import Config
+
+    assert Config().MAX_SEQ_LEN == 100
