@@ -122,6 +122,9 @@ class Captioner:
         tok = self.tokenizer
         start_id = tok.start_id if start_token_id is None else start_token_id
         end_id = tok.end_id if end_token_id is None else end_token_id
+        # the decoder's positional table caps generation length (the
+        # reference's generate(max_len=100) default assumes MAX_SEQ_LEN=100)
+        max_len = min(max_len, self.mcfg.decoder.max_seq_len)
         dec = self.params["decoder"]
         if method == "greedy":
             tokens, lengths = greedy_generate(

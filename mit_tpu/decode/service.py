@@ -133,7 +133,7 @@ class CaptionService:
         cfg = captioner.mcfg.decoder
         self.cfg = cfg
         self.S = num_slots
-        self.T = max_len or cfg.max_seq_len
+        self.T = min(max_len or cfg.max_seq_len, cfg.max_seq_len)
         self.cd = compute_dtype
         from mit_tpu.decode.step import prepare_decode_params
 

@@ -62,6 +62,12 @@ def init_cache(
     hd = d // h
     b, s, _ = memory.shape
     t_max = max_len or cfg.max_seq_len
+    if t_max > cfg.max_seq_len:
+        raise ValueError(
+            f"max_len={t_max} exceeds the positional table "
+            f"(max_seq_len={cfg.max_seq_len}); positions past it would "
+            "silently clamp."
+        )
 
     k = jnp.zeros((L, b, h, t_max, hd), cd)
     v = jnp.zeros((L, b, h, t_max, hd), cd)

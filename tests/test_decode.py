@@ -206,3 +206,35 @@ def test_postprocess_without_end_token(tmp_path):
     ids = tok.encode("hello world", pad=False)[:-1]  # drop END
     # no END → whole sequence used (reference inference.py:103-108)
     assert cap.postprocess(ids) == "hello world"
+
+
+def test_max_len_exceeding_table_raises(params, memory):
+    with pytest.raises(ValueError, match="max_len"):
+        greedy_generate(params, CFG, memory, START, END, PAD, MAXLEN + 5)
+
+
+def test_captioner_clamps_max_len(tmp_path):
+    """generate(max_len=100) default (reference surface) must not blow past
+    a smaller decoder table — it clamps instead."""
+    from PIL import Image
+
+    from mit_tpu.decode.api import Captioner
+    from mit_tpu.models.model import ModelConfig, init_model_params
+    from mit_tpu.models.vision import VisionConfig
+    from mit_tpu.text.tokenizer import train_tokenizer
+
+    cfg = Config(DATA_DIR=str(tmp_path) + "/", MAX_SEQ_LEN=MAXLEN)
+    tok = train_tokenizer(iter(["tiny corpus here"]), 300,
+                          cfg.VOCAB_PATH, cfg.MERGES_PATH, cfg)
+    vis = VisionConfig(family="vit", image_size=32, patch_size=16,
+                       hidden_size=40, num_layers=1, num_heads=2,
+                       intermediate_size=48, hidden_act="gelu",
+                       layer_norm_eps=1e-12, patch_bias=True,
+                       ln_pre=False, ln_post=True)
+    dec = DecoderConfig(vocab_size=tok.get_vocab_size(), embed_dim=D,
+                        num_heads=H, num_layers=1, ff_dim=F,
+                        max_seq_len=MAXLEN, dropout=0.0, pad_idx=tok.pad_id)
+    mcfg = ModelConfig("t", vis, dec, "cls")
+    cap = Captioner(init_model_params(jax.random.PRNGKey(0), mcfg), mcfg, tok, cfg)
+    ids = cap.generate(Image.new("RGB", (32, 32)), max_len=100)  # ref default
+    assert len(ids) <= MAXLEN
