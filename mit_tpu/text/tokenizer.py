@@ -71,7 +71,9 @@ class Tokenizer:
                 f"('{merges_path}') not found. Train the tokenizer first "
                 f"(train.py does this automatically)."
             )
-        return cls(ByteLevelBPE.from_files(vocab_path, merges_path), cfg)
+        tok = cls(ByteLevelBPE.from_files(vocab_path, merges_path), cfg)
+        tok.use_native()  # attach the C++ encode path when buildable
+        return tok
 
     # ------------------------------------------------------------------
     def get_vocab_size(self) -> int:
