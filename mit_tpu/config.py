@@ -108,6 +108,16 @@ class Config:
     MEMORY_MODE: str = "cls"
     # Use Pallas kernels for attention when running on TPU.
     USE_PALLAS: bool = True
+    # Pretrained frozen-encoder weights (the reference always boots from
+    # pretrained HF weights, reference model.py:50):
+    #   "auto"     — load ENCODER_MODEL_NAME from local HF cache/dir if
+    #                available, else warn and fall back to random init
+    #                (set MIT_ALLOW_DOWNLOAD=1 to permit network fetch);
+    #   "required" — as "auto" but failure to load is an error;
+    #   "off"      — always random init (offline CI / ablations);
+    #   any other string — an explicit repo id / directory / weights file,
+    #                loaded as "required".
+    PRETRAINED_ENCODER: str = "auto"
 
     # --- Derived paths (reference config.py:17-24, 121-124) ---
     @property

@@ -205,3 +205,37 @@ def load_captioner(
     mcfg = ModelConfig.build(cfg, vocab_size=tokenizer.get_vocab_size())
     params = load_safetensors(checkpoint_path, mcfg)
     return Captioner(params, mcfg, tokenizer, cfg, compute_dtype)
+
+
+def pretrained_captioner(
+    cfg: Config,
+    name_or_path: Optional[str] = None,
+    decoder_checkpoint: Optional[str] = None,
+    compute_dtype=jnp.float32,
+    local_files_only: bool = False,
+) -> Captioner:
+    """Captioner booted from REAL pretrained encoder weights.
+
+    Resolves ``name_or_path`` (default: ``cfg.ENCODER_MODEL_NAME``) through
+    :mod:`mit_tpu.models.pretrained` — the reference's
+    ``AutoModel.from_pretrained`` capability (reference model.py:50). When
+    ``decoder_checkpoint`` (a reference-layout safetensors file) is given,
+    its trained decoder + projection weights overwrite the random init.
+    """
+    from mit_tpu.models.model import init_model_params_pretrained
+    from mit_tpu.text.tokenizer import get_tokenizer
+    from mit_tpu.train.checkpoint import load_safetensors
+
+    tokenizer = get_tokenizer(cfg, force_reload=True)
+    cfg = cfg.with_tokenizer_ids(tokenizer)
+    mcfg, params = init_model_params_pretrained(
+        jax.random.PRNGKey(cfg.RANDOM_SEED), cfg,
+        vocab_size=tokenizer.get_vocab_size(),
+        name_or_path=name_or_path, local_files_only=local_files_only,
+    )
+    if decoder_checkpoint is not None:
+        trained = load_safetensors(decoder_checkpoint, mcfg)
+        for k in ("decoder", "projection"):
+            if k in trained and k in params:
+                params[k] = trained[k]
+    return Captioner(params, mcfg, tokenizer, cfg, compute_dtype)

@@ -85,6 +85,32 @@ def init_model_params(key: jax.Array, mcfg: ModelConfig) -> dict:
     return params
 
 
+def init_model_params_pretrained(
+    key: jax.Array,
+    cfg: Config,
+    vocab_size: Optional[int] = None,
+    name_or_path: Optional[str] = None,
+    local_files_only: bool = False,
+):
+    """(mcfg, params) with REAL pretrained frozen-encoder weights.
+
+    The reference always boots its encoder from pretrained HF weights
+    (reference model.py:50); this is that path: the vision tower is loaded
+    through :mod:`mit_tpu.models.pretrained`, its actual geometry replaces
+    the preset, and the trainable decoder/projection initialize randomly.
+    """
+    from mit_tpu.models.pretrained import load_pretrained_encoder
+
+    name = name_or_path or cfg.ENCODER_MODEL_NAME
+    vcfg, encoder = load_pretrained_encoder(
+        name, local_files_only=local_files_only
+    )
+    mcfg = ModelConfig.build(cfg, vocab_size)._replace(vision=vcfg)
+    params = init_model_params(key, mcfg)
+    params["encoder"] = encoder
+    return mcfg, params
+
+
 def split_trainable(params: dict):
     """(trainable, frozen) partition: encoder is frozen (reference
     model.py:85-89 sets requires_grad=False on every encoder param)."""

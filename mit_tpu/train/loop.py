@@ -101,6 +101,36 @@ def ensure_tokenizer(cfg: Config):
     return get_tokenizer(cfg, force_reload=True)
 
 
+def build_model_params(cfg: Config, mcfg, key, vocab_size):
+    """Model params honoring ``cfg.PRETRAINED_ENCODER`` (see config.py).
+
+    Returns (mcfg, params); mcfg's vision geometry is replaced by the real
+    checkpoint's when pretrained weights load. The reference equivalent is
+    the unconditional ``AutoModel.from_pretrained`` at model.py:50.
+    """
+    from mit_tpu.models.model import init_model_params_pretrained
+
+    mode = cfg.PRETRAINED_ENCODER
+    if mode == "off":
+        return mcfg, init_model_params(key, mcfg)
+    name = None if mode in ("auto", "required") else mode
+    local_only = os.environ.get("MIT_ALLOW_DOWNLOAD", "0") != "1"
+    try:
+        mcfg, params = init_model_params_pretrained(
+            key, cfg, vocab_size, name_or_path=name,
+            local_files_only=local_only,
+        )
+        print(f"Loaded pretrained encoder weights "
+              f"({name or cfg.ENCODER_MODEL_NAME}).")
+        return mcfg, params
+    except Exception as e:
+        if mode != "auto":
+            raise
+        print(f"Pretrained encoder unavailable ({e}); "
+              "falling back to random encoder init.")
+        return mcfg, init_model_params(key, mcfg)
+
+
 # ----------------------------------------------------------------------
 def train(
     cfg: Config = CONFIG,
@@ -167,7 +197,7 @@ def train(
 
     mcfg = ModelConfig.build(cfg, vocab_size=actual_vocab_size)
     rng, k_init = jax.random.split(rng)
-    params = init_model_params(k_init, mcfg)
+    mcfg, params = build_model_params(cfg, mcfg, k_init, actual_vocab_size)
     trainable, frozen = split_trainable(params)
 
     steps_per_epoch = len(train_loader)
