@@ -48,9 +48,9 @@ _FORCED: bool = None
 def set_pallas_enabled(value) -> None:
     """Force the fused kernels on/off (None = auto: on when on TPU).
 
-    Multi-chip note: pallas_call does not auto-partition under GSPMD; until
-    the kernels are shard_map-wrapped, disable them for sharded multi-chip
-    execution (single-chip and CPU-interpret paths are unaffected).
+    The kernels are GSPMD-safe (custom_partitioning-wrapped), so they stay
+    enabled under sharded multi-chip execution; this switch exists for
+    A/B measurement and for forcing interpret-mode runs in tests.
     """
     global _FORCED
     _FORCED = value
@@ -144,6 +144,65 @@ def _flash_forward(q, k, v, pad_add, causal):
     return out.reshape(b, h, t, hd)
 
 
+# ----------------------------------------------------------------------
+# GSPMD integration: pallas_call does not auto-partition, so the kernel is
+# wrapped in jax.experimental.custom_partitioning with the natural rule —
+# batch and head dims shard freely (batch rides the "data" axis under DP,
+# heads ride "model" under Megatron TP), sequence and head_dim stay local.
+# Each shard then runs the kernel on its local (B/dp, H/tp, T, hd) block
+# with zero communication; XLA inserts any reshards around it.
+# ----------------------------------------------------------------------
+def _bh_axes(arg_shapes):
+    """(batch_axis, head_axis) from q's operand sharding, if any."""
+    try:
+        spec = arg_shapes[0].sharding.spec
+    except AttributeError:
+        return None, None
+    b = spec[0] if len(spec) > 0 else None
+    h = spec[1] if len(spec) > 1 else None
+    return b, h
+
+
+def _make_partitioned_forward(causal: bool):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    @custom_partitioning
+    def fwd(q, k, v, pad_add):
+        return _flash_forward(q, k, v, pad_add, causal)
+
+    def infer_sharding(mesh, arg_shapes, result_shape):
+        b, h = _bh_axes(arg_shapes)
+        return NamedSharding(mesh, P(b, h, None, None))
+
+    def partition(mesh, arg_shapes, result_shape):
+        b, h = _bh_axes(arg_shapes)
+        qkv = NamedSharding(mesh, P(b, h, None, None))
+        pad = NamedSharding(mesh, P(b, None))
+
+        def lower(q, k, v, pad_add):
+            # traced with per-shard shapes: the kernel grid and VMEM
+            # heuristic see the local block, exactly as single-chip
+            return _flash_forward(q, k, v, pad_add, causal)
+
+        return mesh, lower, qkv, (qkv, qkv, qkv, pad)
+
+    fwd.def_partition(
+        infer_sharding_from_operands=infer_sharding,
+        partition=partition,
+        # Shardy propagation rule (einsum-like): t/s/d are shared factors,
+        # b/h shard through.
+        sharding_rule="b h t d, b h s d, b h s d, b s -> b h t d",
+    )
+    return fwd
+
+
+_PARTITIONED_FWD = {
+    True: _make_partitioned_forward(True),
+    False: _make_partitioned_forward(False),
+}
+
+
 def _xla_attention(q, k, v, pad_add, causal):
     """Reference XLA implementation (also the backward-pass recompute)."""
     hd = q.shape[-1]
@@ -168,14 +227,18 @@ def flash_attention(q, k, v, pad_add, causal=True):
     ``causal=True`` for decoder self-attention, ``False`` for encoder
     (bidirectional) attention. Dropout-free — callers fall back to the XLA
     path when attention-prob dropout is active.
+
+    GSPMD-safe: the kernel is custom_partitioning-wrapped, so sharded
+    multi-chip execution (DP batch split and/or TP head split) keeps the
+    fused kernel per-shard instead of falling back to XLA attention.
     """
-    return _flash_forward(q, k, v, pad_add, causal)
+    return _PARTITIONED_FWD[causal](q, k, v, pad_add)
 
 
 def _fwd(q, k, v, pad_add, causal):
     # nondiff_argnums args keep their original positions in fwd (they lead
     # only in the bwd rule's signature)
-    return _flash_forward(q, k, v, pad_add, causal), (q, k, v, pad_add)
+    return _PARTITIONED_FWD[causal](q, k, v, pad_add), (q, k, v, pad_add)
 
 
 def _bwd(causal, res, g):

@@ -144,6 +144,71 @@ def test_dp_tp_combined_train_step():
     assert np.isfinite(float(loss2))
 
 
+def test_dp_tp_train_step_with_pallas_kernels():
+    """Fused Pallas attention stays active under DP+TP GSPMD sharding
+    (custom_partitioning) — matches the XLA-attention path numerically.
+
+    Round-1 limitation removed: kernels previously had to be disabled for
+    sharded execution (old docs/PARITY.md escape hatch)."""
+    from mit_tpu.ops.pallas_attention import set_pallas_enabled
+
+    cfg = Config(GRAD_CLIP_VALUE=0.0, LEARNING_RATE=1e-2)
+    params = init_model_params(jax.random.PRNGKey(0), MCFG)
+    trainable, frozen = split_trainable(params)
+    optimizer, _ = make_optimizer(cfg)
+    batch = _batch()
+    rng = jax.random.PRNGKey(0)
+
+    step = make_train_step(MCFG, optimizer, 0, jnp.float32, donate=False)
+    s0 = init_train_state(trainable, optimizer)
+    _, loss_ref = step(
+        s0, frozen, {k: jnp.asarray(v) for k, v in batch.items()}, rng
+    )
+
+    mesh = create_mesh((4, 2))
+    sd = shard_train_state(
+        init_train_state(trainable, optimizer), mesh, MCFG, tp=True
+    )
+    frozen_sh = shard_tree(
+        frozen, {"encoder": model_param_specs(params, tp=True)["encoder"]}, mesh
+    )
+    batch_sh = shard_batch(batch, mesh)
+    set_pallas_enabled(True)        # interpret-mode kernels on the CPU mesh
+    try:
+        s2, loss2 = step(sd, frozen_sh, batch_sh, rng)
+        assert abs(float(loss_ref) - float(loss2)) < 1e-4
+        w = np.asarray(s2.params["decoder"]["fc_out_w"])
+    finally:
+        set_pallas_enabled(None)
+    assert np.isfinite(w).all()
+
+
+def test_sharded_vision_forward_with_pallas_kernels():
+    """Encoder (bidirectional) fused attention under pure-DP sharding."""
+    from mit_tpu.models.vision import init_vision_params, vision_forward
+    from mit_tpu.ops.pallas_attention import set_pallas_enabled
+
+    params = init_vision_params(jax.random.PRNGKey(1), TINY_VISION)
+    pixels = np.random.default_rng(2).normal(size=(8, 3, 32, 32)).astype(
+        np.float32
+    )
+    ref = np.asarray(
+        vision_forward(params, TINY_VISION, jnp.asarray(pixels),
+                       use_pallas=False)
+    )
+    mesh = create_mesh((8, 1))
+    px = jax.device_put(jnp.asarray(pixels), NamedSharding(mesh, P("data")))
+    pr = replicate(params, mesh)
+    set_pallas_enabled(True)
+    try:
+        out = jax.jit(
+            lambda p, x: vision_forward(p, TINY_VISION, x, use_pallas=True)
+        )(pr, px)
+    finally:
+        set_pallas_enabled(None)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+
+
 def test_sharded_greedy_decode():
     """Batch-sharded KV-cached decode == single-device decode."""
     from mit_tpu.decode.greedy import greedy_generate
