@@ -125,6 +125,25 @@ class ImageTextDataset:
             ids[-1] = self.tokenizer.end_id
         return ids
 
+    def text_item(self, idx: int, bad_paths=None) -> Dict:
+        """Item without pixel work — for cached-feature training, where the
+        encoder (and thus the image) never enters the step. ``bad_paths``
+        are images that failed decoding at cache-build time; they keep the
+        reference's corrupt-image semantics (dummy all-PAD item → zero loss,
+        reference dataset.py:117-130)."""
+        img_path = self.image_paths[idx]
+        if bad_paths and img_path in bad_paths:
+            return {
+                "image_path": "error_loading_image_path",
+                "caption_tokens": np.full(
+                    (self.max_seq_len,), self.tokenizer.pad_id, np.int32
+                ),
+            }
+        return {
+            "image_path": img_path,
+            "caption_tokens": self.encode_caption(self.captions[idx]),
+        }
+
     def __getitem__(self, idx: int) -> Dict:
         img_path = self.image_paths[idx]
         caption = self.captions[idx]
@@ -173,24 +192,27 @@ def collate(items: Sequence[Dict], pad_id: int, batch_size: int) -> Dict:
       valid           (B,) bool — False for padding rows of a partial batch
     """
     n = len(items)
-    images = np.stack([it["image"] for it in items])
     caps = np.stack([it["caption_tokens"] for it in items])
     if n < batch_size:
-        pad_n = batch_size - n
-        images = np.concatenate(
-            [images, np.zeros((pad_n, *images.shape[1:]), images.dtype)]
-        )
         caps = np.concatenate(
-            [caps, np.full((pad_n, caps.shape[1]), pad_id, caps.dtype)]
+            [caps, np.full((batch_size - n, caps.shape[1]), pad_id, caps.dtype)]
         )
     valid = np.arange(batch_size) < n
-    return {
+    out = {
         "image_paths": [it["image_path"] for it in items],
-        "images": images,
         "decoder_input_tokens": caps[:, :-1],
         "target_tokens": caps[:, 1:],
         "valid": valid,
     }
+    if "image" in items[0]:       # absent on the text-only (cached) path
+        images = np.stack([it["image"] for it in items])
+        if n < batch_size:
+            images = np.concatenate(
+                [images,
+                 np.zeros((batch_size - n, *images.shape[1:]), images.dtype)]
+            )
+        out["images"] = images
+    return out
 
 
 def prefetch_to_device(iterator, transform=None, depth: int = 2):
@@ -233,10 +255,18 @@ class Loader:
         drop_last: bool = False,
         shard_index: int = 0,
         shard_count: int = 1,
+        load_images: bool = True,
+        bad_paths=None,
     ):
         """``shard_index``/``shard_count`` partition the index set across
         hosts for multi-host data-parallel training (each process loads a
-        disjoint 1/Nth of the data; the device mesh handles the rest)."""
+        disjoint 1/Nth of the data; the device mesh handles the rest).
+
+        ``load_images=False`` skips JPEG decode + resize entirely (batches
+        carry only tokens + paths) — used when training from cached
+        encoder features, where pixels never reach the step. ``bad_paths``
+        forwards cache-build decode failures to keep dummy-item semantics.
+        """
         self.dataset = dataset
         indices = np.asarray(indices)
         if shard_count > 1:
@@ -248,6 +278,8 @@ class Loader:
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.drop_last = drop_last
+        self.load_images = load_images
+        self.bad_paths = bad_paths
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -274,13 +306,18 @@ class Loader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        if self.load_images:
+            fetch = self.dataset.__getitem__
+        else:
+            fetch = lambda i: self.dataset.text_item(i, self.bad_paths)
+
         def produce():
             with ThreadPoolExecutor(self.num_workers) as pool:
                 try:
                     for chunk in self._batches():
                         if stop.is_set():
                             return
-                        items = list(pool.map(self.dataset.__getitem__, chunk))
+                        items = list(pool.map(fetch, chunk))
                         q.put(collate(items, pad_id, self.batch_size))
                 finally:
                     q.put(None)

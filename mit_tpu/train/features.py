@@ -31,9 +31,14 @@ class FeatureCache:
         self,
         features: np.ndarray,           # (U, S, H_enc)
         path_to_row: Dict[str, int],
+        failed_paths: Optional[set] = None,
     ):
         self.features = features
         self.path_to_row = path_to_row
+        # images that failed decoding at build time — forwarded to the
+        # loader's text-only path so they keep the reference's dummy-item
+        # (all-PAD, zero-loss) semantics (reference dataset.py:117-130)
+        self.failed_paths = failed_paths or set()
 
     @classmethod
     def build(
@@ -59,6 +64,8 @@ class FeatureCache:
 
         native = getattr(dataset, "native_loader", None)
 
+        failed = set()
+
         def load(path):
             try:
                 if native is not None:
@@ -68,6 +75,7 @@ class FeatureCache:
                 with Image.open(path) as im:
                     return pre(im)
             except Exception:
+                failed.add(path)    # set.add is GIL-atomic
                 return np.zeros(pre.output_shape, np.float32)
 
         rows = []
@@ -91,7 +99,7 @@ class FeatureCache:
                     )
         if verbose:
             print()
-        return cls(np.concatenate(rows, axis=0), path_to_row)
+        return cls(np.concatenate(rows, axis=0), path_to_row, failed)
 
     def lookup(self, paths: List[str]) -> np.ndarray:
         """(B, S, H_enc) features for a batch of image paths.
@@ -118,12 +126,12 @@ def attach_features(batch: dict, cache: Optional[FeatureCache]) -> dict:
     if cache is None:
         return batch
     feats = cache.lookup(batch["image_paths"])
-    b = batch["images"].shape[0]
+    b = batch["decoder_input_tokens"].shape[0]
     if feats.shape[0] < b:  # batch was padded to static size
         feats = np.concatenate(
             [feats, np.zeros((b - feats.shape[0], *feats.shape[1:]), np.float32)]
         )
     out = dict(batch)
     out["features"] = feats
-    out.pop("images")
+    out.pop("images", None)     # absent on the text-only loader path
     return out

@@ -186,24 +186,11 @@ def train(
         len(dataset), cfg.TRAIN_SPLIT_RATIO, cfg.RANDOM_SEED
     )
     print(f"Dataset split: {len(tr_idx)} train / {len(va_idx)} val samples.")
-    train_loader = Loader(
-        dataset, tr_idx, cfg.BATCH_SIZE, shuffle=True,
-        seed=cfg.RANDOM_SEED, num_workers=cfg.NUM_WORKERS,
-    )
-    val_loader = Loader(
-        dataset, va_idx, cfg.BATCH_SIZE, shuffle=False,
-        num_workers=cfg.NUM_WORKERS,
-    )
 
     mcfg = ModelConfig.build(cfg, vocab_size=actual_vocab_size)
     rng, k_init = jax.random.split(rng)
     mcfg, params = build_model_params(cfg, mcfg, k_init, actual_vocab_size)
     trainable, frozen = split_trainable(params)
-
-    steps_per_epoch = len(train_loader)
-    optimizer, schedule = make_optimizer(cfg, steps_per_epoch)
-    lr_at = schedule if callable(schedule) else (lambda step: schedule)
-    state = init_train_state(trainable, optimizer)
 
     # --- frozen-feature cache (encoder leaves the train step entirely) ---
     use_cache = cfg.CACHE_ENCODER_FEATURES and cfg.MEMORY_MODE == "cls"
@@ -216,6 +203,25 @@ def train(
         )
         print(f"Feature cache: {cache.features.shape}, "
               f"{cache.nbytes / 1e6:.1f} MB")
+
+    # With cached features the loaders skip pixel work entirely — batches
+    # carry only tokens + paths; features attach from the cache (the
+    # reference re-decodes and re-encodes every image every epoch,
+    # reference train.py:83, model.py:133-136).
+    loader_kw = dict(
+        batch_size=cfg.BATCH_SIZE, num_workers=cfg.NUM_WORKERS,
+        load_images=not use_cache,
+        bad_paths=cache.failed_paths if cache else None,
+    )
+    train_loader = Loader(
+        dataset, tr_idx, shuffle=True, seed=cfg.RANDOM_SEED, **loader_kw
+    )
+    val_loader = Loader(dataset, va_idx, shuffle=False, **loader_kw)
+
+    steps_per_epoch = len(train_loader)
+    optimizer, schedule = make_optimizer(cfg, steps_per_epoch)
+    lr_at = schedule if callable(schedule) else (lambda step: schedule)
+    state = init_train_state(trainable, optimizer)
 
     compute_dtype = jnp.bfloat16 if cfg.COMPUTE_DTYPE == "bfloat16" else jnp.float32
     train_step = make_train_step(
@@ -254,24 +260,29 @@ def train(
 
     for epoch in range(start_epoch, cfg.NUM_EPOCHS):
         t0 = time.time()
-        total_loss, n_batches = 0.0, 0
+        n_batches = 0
+        loss_sum = None                 # device-side accumulator: the host
+        gstep = int(state.step)         # never blocks on a step's result
         # device_put for batch i+1 is issued before step i's result is
-        # consumed: host assembly + H2D transfer overlap device compute
+        # consumed: host assembly + H2D transfer overlap device compute.
+        # Loss stays on device (a host float() per step would serialize the
+        # pipeline); it is fetched only at LOG_INTERVAL and epoch ends.
         for i, arrays in enumerate(prefetch_to_device(train_loader, to_device)):
             if max_steps_per_epoch and i >= max_steps_per_epoch:
                 break
             state, loss = train_step(state, step_frozen, arrays, step_rng)
-            loss = float(loss)
-            total_loss += loss
+            loss_sum = loss if loss_sum is None else loss_sum + loss
             n_batches += 1
-            gstep = int(state.step)
+            gstep += 1
             if gstep % cfg.LOG_INTERVAL == 0:
                 # per-step loss + lr, the reference's wandb surface
                 # (reference train.py:115-120)
-                log({"train_batch_loss": loss,
+                log({"train_batch_loss": float(loss),
                      "learning_rate": float(lr_at(gstep)),
                      "global_step": gstep})
-        train_loss = total_loss / max(1, n_batches)
+        train_loss = (
+            float(loss_sum) / n_batches if n_batches else 0.0
+        )
         dur = time.time() - t0
         sps = n_batches / max(dur, 1e-9)
         ips = sps * cfg.BATCH_SIZE
@@ -284,7 +295,8 @@ def train(
 
         if (epoch + 1) % cfg.VALIDATION_INTERVAL == 0 and len(va_idx) > 0:
             tv = time.time()
-            nll_sum, tok_sum = 0.0, 0.0
+            nll_sum, tok_sum = None, None   # device-side accumulators
+            merged = {**state.params, **step_frozen}
             for i, batch in enumerate(val_loader):
                 if max_steps_per_epoch and i >= max_steps_per_epoch:
                     break
@@ -295,11 +307,13 @@ def train(
                     if k in ("images", "features", "decoder_input_tokens",
                              "target_tokens")
                 }
-                merged = {**state.params, **step_frozen}
                 s, c = eval_step(merged, arrays)
-                nll_sum += float(s)
-                tok_sum += float(c)
-            val_loss = nll_sum / max(1.0, tok_sum)
+                nll_sum = s if nll_sum is None else nll_sum + s
+                tok_sum = c if tok_sum is None else tok_sum + c
+            val_loss = (
+                float(nll_sum) / max(1.0, float(tok_sum))
+                if nll_sum is not None else 0.0
+            )
             print(f"Epoch {epoch + 1} | Val loss {val_loss:.4f} "
                   f"| {time.time() - tv:.1f}s")
             log({"epoch_val_loss": val_loss, "epoch": epoch + 1})

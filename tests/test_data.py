@@ -128,6 +128,52 @@ def test_loader_epoch_coverage_and_static_shapes(corpus):
     assert len(shapes) == 1          # static shapes incl. final partial batch
 
 
+def test_text_only_loader_skips_pixels(corpus):
+    """load_images=False: no JPEG decode, token batches match the full
+    loader's, and bad_paths items keep the dummy all-PAD semantics."""
+    cfg, tok = corpus
+    ds = ImageTextDataset(cfg.IMAGE_DIR, cfg.CAPTIONS_FILE, cfg.MAX_SEQ_LEN, tok, ENC)
+    idx = np.arange(len(ds))
+    full = list(Loader(ds, idx, batch_size=4, shuffle=False))
+    lean = list(
+        Loader(ds, idx, batch_size=4, shuffle=False, load_images=False)
+    )
+    assert all("images" not in b for b in lean)
+    for a, b in zip(full, lean):
+        np.testing.assert_array_equal(
+            a["decoder_input_tokens"], b["decoder_input_tokens"]
+        )
+        np.testing.assert_array_equal(a["target_tokens"], b["target_tokens"])
+        assert a["image_paths"] == b["image_paths"]
+
+    bad = ds.image_paths[0]
+    item = ds.text_item(0, bad_paths={bad})
+    assert item["image_path"] == "error_loading_image_path"
+    assert (item["caption_tokens"] == tok.pad_id).all()
+
+
+def test_attach_features_on_text_only_batch(corpus):
+    """attach_features works without an 'images' key (cached-feature path)."""
+    from mit_tpu.train.features import FeatureCache, attach_features
+
+    cfg, tok = corpus
+    ds = ImageTextDataset(cfg.IMAGE_DIR, cfg.CAPTIONS_FILE, cfg.MAX_SEQ_LEN, tok, ENC)
+    unique = sorted(set(ds.image_paths))
+    feats = np.arange(len(unique) * 2, dtype=np.float32).reshape(
+        len(unique), 1, 2
+    )
+    cache = FeatureCache(feats, {p: i for i, p in enumerate(unique)})
+    batch = next(iter(
+        Loader(ds, np.arange(3), batch_size=4, shuffle=False,
+               load_images=False)
+    ))
+    out = attach_features(batch, cache)
+    assert out["features"].shape == (4, 1, 2)      # padded to static batch
+    row = cache.path_to_row[batch["image_paths"][0]]
+    np.testing.assert_array_equal(out["features"][0], feats[row])
+    assert (out["features"][3] == 0).all()         # pad row → zero features
+
+
 def test_loader_shuffles_between_epochs(corpus):
     cfg, tok = corpus
     ds = ImageTextDataset(cfg.IMAGE_DIR, cfg.CAPTIONS_FILE, cfg.MAX_SEQ_LEN, tok, ENC)
