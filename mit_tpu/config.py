@@ -36,11 +36,19 @@ class Config:
     DATA_DIR: str = "../assets/multimodal_image_transformer/"
     TRAIN_SPLIT_RATIO: float = 0.9
     NUM_WORKERS: int = 2          # host-side prefetch threads (ref: DataLoader workers)
-    PIN_MEMORY: bool = False      # kept for knob parity; JAX transfers are explicit
+    # Intentionally inert, kept for 1:1 knob parity: JAX device transfers
+    # are explicit (prefetch_to_device), so there is no pinned-memory knob
+    # to forward (reference config.py:35 feeds torch DataLoader).
+    PIN_MEMORY: bool = False
 
     # --- Model / encoder (reference config.py:37-53) ---
     ENCODER_MODEL_NAME: str = "google/vit-base-patch16-224-in21k"
     IMAGE_PROCESSOR_NAME: str = "google/vit-base-patch16-224-in21k"
+    # Intentionally inert, kept for 1:1 knob parity: the reference defines
+    # this knob but never reads it either, and documents its only non-default
+    # value as "not fully implemented" (reference config.py:50-53). Image
+    # transforms here always match the HF processor for ENCODER_MODEL_NAME
+    # (data/preprocess.py), i.e. the "hf_processor" behavior.
     IMG_TRANSFORM_MODE: str = "hf_processor"
 
     # --- Decoder architecture (reference config.py:55-72) ---

@@ -6,10 +6,11 @@ Reference: tokenizer.py:181-352 — ``train_tokenizer``, ``get_tokenizer``,
 padding and truncation.
 
 Design changes vs the reference:
-- encode/decode run through the first-party byte-level BPE
-  (:mod:`mit_tpu.text.bpe`, with a C++ fast path) instead of the Rust crate;
-  *training* still uses the HF ``tokenizers`` library (one-off host-side op,
-  nothing TPU about it) and emits the same ``vocab.json``/``merges.txt``.
+- the whole stack is first-party: encode/decode run through the byte-level
+  BPE in :mod:`mit_tpu.text.bpe` (with a C++ fast path), and *training*
+  runs through :mod:`mit_tpu.text.train_bpe` — no Rust crate anywhere. The
+  emitted ``vocab.json``/``merges.txt`` are bit-identical to the HF
+  ``tokenizers`` output on the same corpus (tests/test_train_bpe.py).
 - Special-token IDs are read from the trained vocab at load time — the single
   source of truth (the reference hardcodes them in config.py:116-119, which
   disagrees with its own training order, tokenizer.py:202-208).

@@ -72,14 +72,22 @@ def test_native_throughput_sane(tok):
 
     text = " ".join(CAPTIONS) * 50
     native = NativeBPE(tok.bpe)
-    tok.bpe._word_cache.clear()
-    t0 = time.perf_counter()
-    py = tok.bpe.encode_ids(text, unk_id=tok.unk_id)
-    t_py = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    cc = native.encode_ids(text)
-    t_cc = time.perf_counter() - t0
+
+    # The correctness contract is bit-identity; the speed check is a smoke
+    # test. Wall-clock on a loaded 1-CPU box is noisy, so compare the
+    # MEDIAN of several interleaved trials and keep a generous bound — a
+    # genuine pathology (native slower than Python by 5x) still fails.
+    t_py, t_cc = [], []
+    py = cc = None
+    for _ in range(5):
+        tok.bpe._word_cache.clear()
+        t0 = time.perf_counter()
+        py = tok.bpe.encode_ids(text, unk_id=tok.unk_id)
+        t_py.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        cc = native.encode_ids(text)
+        t_cc.append(time.perf_counter() - t0)
     assert py == cc
-    # generous bound: this box has 1 CPU and timing is noisy under load;
-    # the contract is bit-identity, the speed check is a smoke test
-    assert t_cc < t_py * 5.0, (t_py, t_cc)
+    t_py.sort()
+    t_cc.sort()
+    assert t_cc[2] < t_py[2] * 5.0, (t_py, t_cc)
