@@ -137,13 +137,12 @@ def encode_images(
     Projection is trainable and therefore applied downstream, so cached
     features stay valid across training.
     """
+    cls_only = mcfg.memory_mode == "cls"
     hidden = vision_forward(
-        params["encoder"], mcfg.vision, pixel_values, compute_dtype
+        params["encoder"], mcfg.vision, pixel_values, compute_dtype,
+        cls_only=cls_only,
     )
-    hidden = jax.lax.stop_gradient(hidden)
-    if mcfg.memory_mode == "cls":
-        return hidden[:, :1, :]
-    return hidden
+    return jax.lax.stop_gradient(hidden)
 
 
 def project_features(

@@ -99,10 +99,6 @@ def multihead_attention(
         k = (kv_in.astype(cd) @ params["wk"].astype(cd)) + params["bk"].astype(cd)
         v = (kv_in.astype(cd) @ params["wv"].astype(cd)) + params["bv"].astype(cd)
 
-    qh = _split_heads(q, num_heads)  # (B, H, T, hd)
-    kh = _split_heads(k, num_heads)  # (B, H, S, hd)
-    vh = _split_heads(v, num_heads)
-
     if flash_path:
         if pad_add is None:
             pad_add = jnp.zeros((kv_in.shape[0], kv_in.shape[1]), jnp.float32)
@@ -115,14 +111,32 @@ def multihead_attention(
                 rng, (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
             )
             ctx = flash_attention_dropout(
-                qh, kh, vh, pad_add, seed, causal, float(dropout_rate)
+                _split_heads(q, num_heads), _split_heads(k, num_heads),
+                _split_heads(v, num_heads), pad_add, seed, causal,
+                float(dropout_rate),
             )
+            out = _merge_heads(ctx)
         else:
-            from mit_tpu.ops.pallas_attention import flash_attention
+            from mit_tpu.ops.pallas_attention import (
+                _btd_fits_vmem,
+                flash_attention,
+                flash_attention_btd,
+            )
 
-            ctx = flash_attention(qh, kh, vh, pad_add, causal)
-        out = _merge_heads(ctx)
+            if _btd_fits_vmem(q, k, hd):
+                # native-layout kernel: no head split/merge transposes
+                out = flash_attention_btd(q, k, v, pad_add, causal, hd)
+            else:  # huge models: per-head grid streams one head at a time
+                ctx = flash_attention(
+                    _split_heads(q, num_heads), _split_heads(k, num_heads),
+                    _split_heads(v, num_heads), pad_add, causal,
+                )
+                out = _merge_heads(ctx)
         return (out @ params["wo"].astype(cd)) + params["bo"].astype(cd)
+
+    qh = _split_heads(q, num_heads)  # (B, H, T, hd)
+    kh = _split_heads(k, num_heads)  # (B, H, S, hd)
+    vh = _split_heads(v, num_heads)
 
     if mask is None and (causal or pad_add is not None):
         # build the additive mask the slow path needs from the structural form

@@ -145,6 +145,174 @@ def _flash_forward(q, k, v, pad_add, causal):
 
 
 # ----------------------------------------------------------------------
+# Head-packed (B, T, D) kernel — the default since round 2.
+#
+# The (B, H, T, hd) layout needs 3 input transposes + 1 output transpose of
+# the full activation tensor around every attention (310 MB each at ViT-B
+# B=1024), and its hd=64 minor dim only half-fills the 128-lane registers.
+# This kernel keeps activations in their native (T, D) layout — heads are
+# static column slices inside VMEM — so the QKV projections feed it with no
+# layout change at all, and the output feeds the out-projection likewise.
+# The softmax denominator is applied after the PV matmul ((T, hd) divisions
+# instead of (T, S)). Measured on v5e at ViT-B/16 B=1024: encoder
+# 2,210 → 2,535 img/s vs the per-head-layout kernel.
+# ----------------------------------------------------------------------
+def _attn_kernel_btd(q_ref, k_ref, v_ref, pad_ref, o_ref, *,
+                     scale: float, causal: bool, heads: int, hd: int):
+    """One batch cell. q_ref (T, D); k/v_ref (S, D); pad_ref (1, S)."""
+    t = q_ref.shape[0]
+    s = k_ref.shape[0]
+    pad_row = pad_ref[0, :]
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (t, s), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (t, s), 1)
+        causal_add = jnp.where(col <= row, 0.0, NEG_INF)
+    for h in range(heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        scores = jax.lax.dot_general(
+            q_ref[:, sl].astype(jnp.float32), k_ref[:, sl].astype(jnp.float32),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        ) * scale                                        # (T, S)
+        if causal:
+            scores = scores + causal_add
+        scores = scores + pad_row[None, :]
+        m = jnp.max(scores, axis=1, keepdims=True)
+        p = jnp.exp(scores - m)
+        o = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[:, sl],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        o_ref[:, sl] = (o / jnp.sum(p, axis=1, keepdims=True)).astype(
+            o_ref.dtype
+        )
+
+
+def _flash_forward_btd(q, k, v, pad_add, causal, head_dim):
+    """q (B, T, D); k/v (B, S, D); pad_add (B, S) additive → (B, T, D)."""
+    b, t, d = q.shape
+    s = k.shape[1]
+    heads = d // head_dim
+    scale = 1.0 / math.sqrt(head_dim)
+    kernel = functools.partial(
+        _attn_kernel_btd, scale=scale, causal=causal, heads=heads, hd=head_dim
+    )
+    tile = lambda a: pl.BlockSpec((None, a, d), lambda i: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            tile(t), tile(s), tile(s),
+            pl.BlockSpec((None, 1, s), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=tile(t),
+        out_shape=jax.ShapeDtypeStruct((b, t, d), q.dtype),
+        interpret=not on_tpu(),
+    )(q, k, v, pad_add[:, None, :])
+
+
+def _btd_fits_vmem(q, k, head_dim) -> bool:
+    """Guard: one batch cell's tiles + a transient score block in ~8 MB."""
+    b, t, d = q.shape
+    s = k.shape[1]
+    itemsize = jnp.dtype(q.dtype).itemsize
+    per_cell = (2 * t * d + 2 * s * d) * itemsize + t * s * 4
+    return per_cell <= 8 * 1024 * 1024
+
+
+def _split_heads_btd(x, head_dim):
+    b, t, d = x.shape
+    return x.reshape(b, t, d // head_dim, head_dim).transpose(0, 2, 1, 3)
+
+
+def _xla_attention_btd(q, k, v, pad_add, causal, head_dim):
+    """XLA reference / backward recompute for the (B, T, D) layout."""
+    ctx = _xla_attention(
+        _split_heads_btd(q, head_dim),
+        _split_heads_btd(k, head_dim),
+        _split_heads_btd(v, head_dim),
+        pad_add, causal,
+    )
+    b, h, t, hd = ctx.shape
+    return ctx.transpose(0, 2, 1, 3).reshape(b, t, h * hd).astype(q.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_partitioned_forward_btd(causal: bool, head_dim: int):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    @custom_partitioning
+    def fwd(q, k, v, pad_add):
+        return _flash_forward_btd(q, k, v, pad_add, causal, head_dim)
+
+    def _axes(arg_shapes):
+        try:
+            spec = arg_shapes[0].sharding.spec
+        except AttributeError:
+            return None, None
+        b = spec[0] if len(spec) > 0 else None
+        d = spec[2] if len(spec) > 2 else None
+        return b, d
+
+    def infer_sharding(mesh, arg_shapes, result_shape):
+        b, d = _axes(arg_shapes)
+        return NamedSharding(mesh, P(b, None, d))
+
+    def partition(mesh, arg_shapes, result_shape):
+        # batch shards under DP; the feature dim shards under Megatron TP
+        # (whole heads per shard — heads are column blocks of D); sequence
+        # stays local.
+        b, d = _axes(arg_shapes)
+        qkv = NamedSharding(mesh, P(b, None, d))
+        pad = NamedSharding(mesh, P(b, None))
+
+        def lower(q, k, v, pad_add):
+            return _flash_forward_btd(q, k, v, pad_add, causal, head_dim)
+
+        return mesh, lower, qkv, (qkv, qkv, qkv, pad)
+
+    fwd.def_partition(
+        infer_sharding_from_operands=infer_sharding,
+        partition=partition,
+        sharding_rule="b t d, b s d, b s d, b s -> b t d",
+    )
+    return fwd
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def flash_attention_btd(q, k, v, pad_add, causal=False, head_dim=64):
+    """Fused attention in native (B, T, D) activation layout.
+
+    q (B, T, D); k/v (B, S, D); pad_add (B, S) additive; heads are D-column
+    blocks of ``head_dim``. No head split/merge transposes anywhere — QKV
+    projections feed it directly and its output feeds the out-projection.
+    GSPMD-safe via custom_partitioning (batch → DP axis, D → TP axis).
+    Backward recomputes attention with XLA einsums (rematerialization).
+    """
+    return _make_partitioned_forward_btd(causal, head_dim)(q, k, v, pad_add)
+
+
+def _fwd_btd(q, k, v, pad_add, causal, head_dim):
+    out = _make_partitioned_forward_btd(causal, head_dim)(q, k, v, pad_add)
+    return out, (q, k, v, pad_add)
+
+
+def _bwd_btd(causal, head_dim, res, g):
+    q, k, v, pad_add = res
+    _, vjp = jax.vjp(
+        lambda q, k, v: _xla_attention_btd(q, k, v, pad_add, causal, head_dim),
+        q, k, v,
+    )
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+flash_attention_btd.defvjp(_fwd_btd, _bwd_btd)
+
+
+# ----------------------------------------------------------------------
 # GSPMD integration: pallas_call does not auto-partition, so the kernel is
 # wrapped in jax.experimental.custom_partitioning with the natural rule —
 # batch and head dims shard freely (batch rides the "data" axis under DP,

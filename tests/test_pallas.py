@@ -54,6 +54,55 @@ def test_flash_backward_matches_xla():
                                    rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("causal", [True, False])
+@pytest.mark.parametrize("t,s", [(13, 13), (99, 99), (17, 1)])
+def test_flash_btd_matches_xla(causal, t, s):
+    """Native-layout (B, T, D) kernel — the round-2 default path."""
+    from mit_tpu.ops.pallas_attention import flash_attention_btd
+
+    r = np.random.default_rng(4)
+    B, H, HD = 2, 4, 32
+    D = H * HD
+    q = jnp.asarray(r.normal(size=(B, t, D)), jnp.float32)
+    k = jnp.asarray(r.normal(size=(B, s, D)), jnp.float32)
+    v = jnp.asarray(r.normal(size=(B, s, D)), jnp.float32)
+    pad = jnp.where(jnp.asarray(r.random((B, s)) > 0.8), -1e9, 0.0).astype(
+        jnp.float32
+    )
+    out = flash_attention_btd(q, k, v, pad, causal, HD)
+    sh = lambda x: x.reshape(B, -1, H, HD).transpose(0, 2, 1, 3)
+    ref = _xla_attention(sh(q), sh(k), sh(v), pad, causal)
+    ref = ref.transpose(0, 2, 1, 3).reshape(B, t, D)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_flash_btd_backward_matches_xla():
+    from mit_tpu.ops.pallas_attention import (
+        _xla_attention_btd,
+        flash_attention_btd,
+    )
+
+    r = np.random.default_rng(5)
+    B, T, D, HD = 2, 17, 64, 16
+    q = jnp.asarray(r.normal(size=(B, T, D)), jnp.float32)
+    k = jnp.asarray(r.normal(size=(B, T, D)), jnp.float32)
+    v = jnp.asarray(r.normal(size=(B, T, D)), jnp.float32)
+    pad = jnp.zeros((B, T), jnp.float32)
+
+    g1 = jax.grad(
+        lambda q, k, v: jnp.sum(flash_attention_btd(q, k, v, pad, True, HD) ** 2),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    g2 = jax.grad(
+        lambda q, k, v: jnp.sum(_xla_attention_btd(q, k, v, pad, True, HD) ** 2),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_decoder_forward_pallas_equals_xla():
     cfg = DecoderConfig(vocab_size=50, embed_dim=32, num_heads=4,
                         num_layers=2, ff_dim=48, max_seq_len=20,
@@ -82,6 +131,26 @@ def test_vision_forward_pallas_equals_xla():
     a = vision_forward(params, cfg, pix, use_pallas=False)
     b = vision_forward(params, cfg, pix, use_pallas=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_vision_cls_only_equals_full_slice(use_pallas):
+    """cls_only last-layer shortcut == full forward's CLS row (both paths)."""
+    cfg = VisionConfig(family="vit", image_size=32, patch_size=16,
+                       hidden_size=32, num_layers=2, num_heads=4,
+                       intermediate_size=48, hidden_act="gelu",
+                       layer_norm_eps=1e-12, patch_bias=True,
+                       ln_pre=False, ln_post=True)
+    params = init_vision_params(jax.random.PRNGKey(7), cfg)
+    pix = jnp.asarray(
+        np.random.default_rng(8).normal(size=(2, 3, 32, 32)), jnp.float32
+    )
+    full = vision_forward(params, cfg, pix, use_pallas=use_pallas)
+    cls = vision_forward(params, cfg, pix, use_pallas=use_pallas,
+                         cls_only=True)
+    assert cls.shape == (2, 1, 32)
+    np.testing.assert_allclose(np.asarray(cls), np.asarray(full[:, :1]),
                                rtol=1e-5, atol=1e-5)
 
 
