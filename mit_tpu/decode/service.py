@@ -128,7 +128,14 @@ class CaptionService:
         num_slots: int = 64,
         max_len: Optional[int] = None,
         compute_dtype=jnp.float32,
+        mesh=None,
     ):
+        """``mesh``: an optional ``jax.sharding.Mesh`` with a "data" axis —
+        decode slots (and their KV caches) shard across it, so one service
+        instance drives a whole v5e-8 slice (BASELINE config 5). Weights
+        replicate; the host keeps the full token/position bookkeeping and
+        GSPMD runs each slot's math on its owning chip. ``num_slots`` must
+        divide evenly across the "data" axis."""
         self.cap = captioner
         cfg = captioner.mcfg.decoder
         self.cfg = cfg
@@ -137,14 +144,46 @@ class CaptionService:
         self.cd = compute_dtype
         from mit_tpu.decode.step import prepare_decode_params
 
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_data = mesh.shape["data"]
+            if num_slots % n_data != 0:
+                raise ValueError(
+                    f"num_slots={num_slots} must be divisible by the mesh "
+                    f"data axis ({n_data})."
+                )
+            self._shard = lambda x, dim: jax.device_put(
+                x, NamedSharding(
+                    mesh, P(*(["data" if i == dim else None
+                               for i in range(x.ndim)]))
+                )
+            )
+            self._replicate = lambda x: jax.device_put(
+                x, NamedSharding(mesh, P())
+            )
+        else:
+            self._shard = lambda x, dim: x
+            self._replicate = lambda x: x
+
         # cast + qkv-fuse the decoder weights once for the whole service life
-        self._prepared = jax.jit(
-            lambda p: prepare_decode_params(p, compute_dtype)
-        )(captioner.params["decoder"])
+        self._prepared = jax.tree.map(
+            self._replicate,
+            jax.jit(lambda p: prepare_decode_params(p, compute_dtype))(
+                captioner.params["decoder"]
+            ),
+        )
         L, h, hd = cfg.num_layers, cfg.num_heads, cfg.embed_dim // cfg.num_heads
-        self.k_cache = jnp.zeros((L, num_slots, h, self.T, hd), compute_dtype)
-        self.v_cache = jnp.zeros((L, num_slots, h, self.T, hd), compute_dtype)
-        self.cross = jnp.zeros((L, num_slots, cfg.embed_dim), jnp.float32)
+        self.k_cache = self._shard(
+            jnp.zeros((L, num_slots, h, self.T, hd), compute_dtype), 1
+        )
+        self.v_cache = self._shard(
+            jnp.zeros((L, num_slots, h, self.T, hd), compute_dtype), 1
+        )
+        self.cross = self._shard(
+            jnp.zeros((L, num_slots, cfg.embed_dim), jnp.float32), 1
+        )
         self.tokens = np.full((num_slots, self.T), captioner.tokenizer.pad_id,
                               np.int32)
         self.pos = np.zeros((num_slots,), np.int32)

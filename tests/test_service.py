@@ -114,3 +114,31 @@ def test_service_end_to_end_with_images(captioner):
     assert len(caps) == 3
     direct = captioner.caption_batch(imgs, max_len=MAXLEN)
     assert caps == direct
+
+
+def test_service_sharded_mesh_matches_unsharded(captioner):
+    """Slot-sharded service on the 8-device mesh == single-device service
+    (config 5: continuous-batched serving on a slice)."""
+    from mit_tpu.parallel.mesh import create_mesh
+
+    mems = _memories(captioner, 12, seed=3)
+    ref = CaptionService(captioner, num_slots=8)
+    rids_ref = [ref.submit_memory(mems[i]) for i in range(12)]
+    expect = ref.run_to_completion()
+
+    mesh = create_mesh((8, 1))
+    svc = CaptionService(captioner, num_slots=8, mesh=mesh)
+    rids = [svc.submit_memory(mems[i]) for i in range(12)]
+    got = svc.run_to_completion()
+    for a, b in zip(rids_ref, rids):
+        assert expect[a] == got[b]
+    # caches really live sharded across the mesh
+    assert not svc.k_cache.sharding.is_fully_replicated
+
+
+def test_service_mesh_slot_divisibility_enforced(captioner):
+    from mit_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh((8, 1))
+    with pytest.raises(ValueError, match="divisible"):
+        CaptionService(captioner, num_slots=6, mesh=mesh)
