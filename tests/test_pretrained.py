@@ -242,3 +242,31 @@ def test_pretrained_captioner_boot(tmp_path):
     img = Image.new("RGB", (40, 40), (200, 30, 30))
     out = cap.caption(img, max_len=8)
     assert isinstance(out, str)
+
+
+def test_pretrained_encoder_shards_under_tp(tmp_path):
+    """Converted pretrained params take the same TP sharding rules as
+    init-time params (tree structures match), and the sharded forward
+    matches the unsharded one."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mit_tpu.models.vision import vision_forward
+    from mit_tpu.parallel.mesh import create_mesh, shard_tree, vision_param_specs
+
+    m, d = _save_vit(tmp_path)
+    vcfg, params = load_pretrained_encoder(d)
+    ref = vision_forward(
+        params, vcfg,
+        jnp.asarray(np.random.default_rng(1).normal(size=(4, 3, IMG, IMG)),
+                    jnp.float32),
+    )
+    mesh = create_mesh((4, 2))
+    specs = vision_param_specs(params, tp=True)
+    sharded = shard_tree(params, specs, mesh)
+    pix = jnp.asarray(
+        np.random.default_rng(1).normal(size=(4, 3, IMG, IMG)), jnp.float32
+    )
+    pix = jax.device_put(pix, NamedSharding(mesh, P("data")))
+    out = jax.jit(lambda p, x: vision_forward(p, vcfg, x))(sharded, pix)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
