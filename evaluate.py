@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Evaluate a checkpoint's captions with BLEU-4 on the validation split.
+"""Evaluate a checkpoint: BLEU-4 + CIDEr-D on the validation split.
 
 Usage: python evaluate.py --checkpoint_path ckpt.safetensors [--data_dir D]
        [--limit N] [--method greedy|beam]

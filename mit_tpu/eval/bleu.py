@@ -99,8 +99,11 @@ def evaluate_captioner(
         for p, c in zip(chunk, caps):
             hyps.append(c)
             refs.append(references[p])
+    from mit_tpu.eval.cider import cider_d
+
     return {
         "bleu4": bleu4(hyps, refs),
+        "cider_d": cider_d(hyps, refs),
         "num_images": len(unique),
         "mean_caption_len": (
             sum(len(h.split()) for h in hyps) / max(1, len(hyps))
