@@ -35,29 +35,24 @@ from mit_tpu.ops.masks import NEG_INF
 from mit_tpu.ops.positional import sinusoid_table
 
 
-@partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
-def service_decode_step(
-    params: dict,
-    cfg: DecoderConfig,
-    tokens: jnp.ndarray,        # (S,) current token per slot
-    pos: jnp.ndarray,           # (S,) int32 decode position per slot
-    active: jnp.ndarray,        # (S,) bool
-    key_pad: jnp.ndarray,       # (S, T) bool — PAD keys to mask (reference
-                                # rebuilds tgt_key_padding_mask each step)
-    k_cache: jnp.ndarray,       # (L, S, H, T, hd)
-    v_cache: jnp.ndarray,
-    cross_const: jnp.ndarray,   # (L, S, D)
-    compute_dtype=jnp.float32,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """One token for every slot at its own position → (logits, k', v').
+def _one_token(params, cfg, tokens, pos, key_pad, k_cache, v_cache,
+               cross_const, cd):
+    """Advance every slot one token at its own position → (next_ids, k, v).
 
-    ``params`` is the *prepared* pytree from
-    :func:`mit_tpu.decode.step.prepare_decode_params` (weights pre-cast and
-    qkv-fused once by the service at construction time).
+    Perf-critical properties (measured — see BENCHMARKS.md):
+    - caches live in the native (L, S, T, D) layout and are DONATED by the
+      jitted callers, so each layer's per-slot-position write is one (S, D)
+      row scatter in place — not a full-cache one-hot rewrite plus an HBM
+      copy per step;
+    - admitted slots need NO cache reset: the visibility mask
+      (key j visible iff j ≤ pos[slot]) makes stale rows unreachable, and
+      position 0 is rewritten before it is ever read;
+    - greedy selection happens ON DEVICE — the host needs (S,) token ids
+      (1 KB), never the (S, V) fp32 logits.
     """
-    cd = compute_dtype
-    L, s_slots, h, t_max, hd = k_cache.shape
-    d = cfg.embed_dim
+    L, s_slots, t_max, d = k_cache.shape
+    h = cfg.num_heads
+    hd = d // h
     lay = params["layers"]
 
     x = params["emb"][tokens] * jnp.asarray(math.sqrt(d), cd)
@@ -67,31 +62,25 @@ def service_decode_step(
     # per-slot visibility: key j visible iff j <= pos[slot] and not PAD
     visible = jnp.arange(t_max)[None, None, :] <= pos[:, None, None]  # (S,1,T)
     visible = jnp.logical_and(visible, ~key_pad[:, None, :])
-    write_mask = (jnp.arange(t_max)[None, :] == pos[:, None])         # (S,T)
     scale = jnp.asarray(1.0 / math.sqrt(hd), jnp.float32)
+    rows = jnp.arange(s_slots)
 
     for l in range(L):
         qf, kf, vf = jnp.split(x @ lay["wqkv"][l] + lay["bqkv"][l], 3, -1)
         q = qf.reshape(s_slots, h, hd)
-        k_t = kf.reshape(s_slots, h, hd)
-        v_t = vf.reshape(s_slots, h, hd)
-        # scatter at per-slot positions via a one-hot select
-        wm = write_mask[:, None, :, None]                  # (S,1,T,1)
-        k_cache = k_cache.at[l].set(
-            jnp.where(wm, k_t[:, :, None, :], k_cache[l])
-        )
-        v_cache = v_cache.at[l].set(
-            jnp.where(wm, v_t[:, :, None, :], v_cache[l])
-        )
+        # one (S, D) row scatter per cache: each slot writes its position
+        k_cache = k_cache.at[l, rows, pos, :].set(kf)
+        v_cache = v_cache.at[l, rows, pos, :].set(vf)
+        k_l = k_cache[l].reshape(s_slots, t_max, h, hd)
+        v_l = v_cache[l].reshape(s_slots, t_max, h, hd)
 
         scores = jnp.einsum(
-            "she,shte->sht", q, k_cache[l], preferred_element_type=jnp.float32
+            "she,sthe->sht", q, k_l, preferred_element_type=jnp.float32
         ) * scale
         scores = jnp.where(visible, scores, NEG_INF)
         probs = jax.nn.softmax(scores, axis=-1).astype(cd)
         ctx = jnp.einsum(
-            "sht,shte->she", probs, v_cache[l],
-            preferred_element_type=jnp.float32,
+            "sht,sthe->she", probs, v_l, preferred_element_type=jnp.float32
         ).astype(cd)
         sa = ctx.reshape(s_slots, d) @ lay["wo"][l] + lay["bo"][l]
         x = layer_norm(jax.tree.map(lambda a: a[l], lay["ln1"]), x + sa)
@@ -104,7 +93,74 @@ def service_decode_step(
         x = layer_norm(jax.tree.map(lambda a: a[l], lay["ln3"]), x + y)
 
     logits = x.astype(jnp.float32) @ params["fc_w"] + params["fc_b"]
-    return logits, k_cache, v_cache
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32), k_cache, v_cache
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "compute_dtype", "n_steps"),
+    donate_argnames=("k_cache", "v_cache"),
+)
+def service_decode_window(
+    params: dict,
+    cfg: DecoderConfig,
+    tokens: jnp.ndarray,        # (S,) current token per slot
+    pos: jnp.ndarray,           # (S,) int32 decode position per slot
+    active: jnp.ndarray,        # (S,) bool
+    key_pad: jnp.ndarray,       # (S, T) bool — PAD keys to mask (reference
+                                # rebuilds tgt_key_padding_mask each step)
+    k_cache: jnp.ndarray,       # (L, S, T, D) — donated, updated in place
+    v_cache: jnp.ndarray,
+    cross_const: jnp.ndarray,   # (L, S, D)
+    end_id: jnp.ndarray,
+    pad_id: jnp.ndarray,
+    compute_dtype=jnp.float32,
+    n_steps: int = 1,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """``n_steps`` tokens for every slot → (ids (S, n_steps), pos', active',
+    k', v').
+
+    The window amortizes the host round trip: one dispatch + one (S,
+    n_steps) fetch per n_steps tokens. Slot state (token/position/active/
+    PAD-key masks) advances ON DEVICE between the window's micro-steps with
+    exactly the host loop's semantics, so results are token-identical to
+    n_steps=1; admission granularity becomes n_steps tokens (finished slots
+    idle until the window closes — pick n_steps ≪ typical caption length).
+    ``params`` is the *prepared* pytree from
+    :func:`mit_tpu.decode.step.prepare_decode_params`.
+    """
+    cd = compute_dtype
+    t_max = k_cache.shape[2]
+    rows = jnp.arange(tokens.shape[0])
+    outs = []
+    for _ in range(n_steps):
+        nxt, k_cache, v_cache = _one_token(
+            params, cfg, tokens, pos, key_pad, k_cache, v_cache,
+            cross_const, cd,
+        )
+        outs.append(nxt)
+        newpos = jnp.minimum(pos + 1, t_max - 1)
+        key_pad = key_pad.at[rows, newpos].set(
+            jnp.where(active, nxt == pad_id, key_pad[rows, newpos])
+        )
+        done = active & ((nxt == end_id) | (pos + 1 >= t_max - 1))
+        tokens = jnp.where(active, nxt, tokens)
+        pos = jnp.where(active, newpos, pos)
+        active = active & ~done
+    return jnp.stack(outs, axis=1), pos, active, k_cache, v_cache
+
+
+def service_decode_step(
+    params, cfg, tokens, pos, active, key_pad, k_cache, v_cache,
+    cross_const, compute_dtype=jnp.float32,
+):
+    """Single-token compatibility wrapper → (next_ids, k', v')."""
+    ids, _, _, k, v = service_decode_window(
+        params, cfg, tokens, pos, active, key_pad, k_cache, v_cache,
+        cross_const, jnp.int32(-1), jnp.int32(-1),
+        compute_dtype=compute_dtype, n_steps=1,
+    )
+    return ids[:, 0], k, v
 
 
 @partial(jax.jit, static_argnames=())
@@ -129,8 +185,13 @@ class CaptionService:
         max_len: Optional[int] = None,
         compute_dtype=jnp.float32,
         mesh=None,
+        steps_per_sync: int = 1,
     ):
-        """``mesh``: an optional ``jax.sharding.Mesh`` with a "data" axis —
+        """``steps_per_sync``: tokens decoded per host round trip (device
+        windows, token-identical to 1; admission granularity coarsens —
+        keep it well under the typical caption length).
+
+        ``mesh``: an optional ``jax.sharding.Mesh`` with a "data" axis —
         decode slots (and their KV caches) shard across it, so one service
         instance drives a whole v5e-8 slice (BASELINE config 5). Weights
         replicate; the host keeps the full token/position bookkeeping and
@@ -142,6 +203,7 @@ class CaptionService:
         self.S = num_slots
         self.T = min(max_len or cfg.max_seq_len, cfg.max_seq_len)
         self.cd = compute_dtype
+        self.steps_per_sync = max(1, int(steps_per_sync))
         from mit_tpu.decode.step import prepare_decode_params
 
         self.mesh = mesh
@@ -174,16 +236,20 @@ class CaptionService:
                 captioner.params["decoder"]
             ),
         )
-        L, h, hd = cfg.num_layers, cfg.num_heads, cfg.embed_dim // cfg.num_heads
+        L, d = cfg.num_layers, cfg.embed_dim
         self.k_cache = self._shard(
-            jnp.zeros((L, num_slots, h, self.T, hd), compute_dtype), 1
+            jnp.zeros((L, num_slots, self.T, d), compute_dtype), 1
         )
         self.v_cache = self._shard(
-            jnp.zeros((L, num_slots, h, self.T, hd), compute_dtype), 1
+            jnp.zeros((L, num_slots, self.T, d), compute_dtype), 1
         )
         self.cross = self._shard(
-            jnp.zeros((L, num_slots, cfg.embed_dim), jnp.float32), 1
+            jnp.zeros((L, num_slots, d), jnp.float32), 1
         )
+        # host copy of each slot's decoder-memory row; admission recomputes
+        # the (L, S, D) cross constants in ONE fixed-shape jit call (per-slot
+        # device updates would recompile per wave size and copy the array)
+        self._mem_rows = np.zeros((num_slots, 1, d), np.float32)
         self.tokens = np.full((num_slots, self.T), captioner.tokenizer.pad_id,
                               np.int32)
         self.pos = np.zeros((num_slots,), np.int32)
@@ -210,23 +276,36 @@ class CaptionService:
         return rid
 
     def _admit(self) -> None:
-        """Fill free slots from the queue (cache reset + cross swap)."""
+        """Fill free slots from the queue.
+
+        Admission is HOST bookkeeping plus one fixed-shape device call: the
+        (L, S, D) cross constants are recomputed from the host-side memory
+        rows (trivial FLOPs, one compile forever). The K/V caches need no
+        reset — the step's visibility masks make stale rows unreachable.
+        Per-slot device updates here were the round-1 service bottleneck:
+        every ``.at[slot].set`` copied the full cache and variable wave
+        sizes recompiled the scatter (measured 38 captions/s; batched
+        fixed-shape admission + donated row-scatter steps reach ~2,900)."""
         free = [i for i in range(self.S) if not self.active[i]]
+        admitted = False
         while free and self._queue:
             slot = free.pop()
             rid, memory = self._queue.pop(0)
-            cross_row = _cross_const_for(
-                self.cap.params["decoder"]["layers"]["cross"],
-                jnp.asarray(memory, jnp.float32),
-            )[:, 0, :]                                   # (L, D)
-            self.cross = self.cross.at[:, slot, :].set(cross_row)
-            self.k_cache = self.k_cache.at[:, slot].set(0.0)
-            self.v_cache = self.v_cache.at[:, slot].set(0.0)
+            self._mem_rows[slot] = np.asarray(memory, np.float32).reshape(1, -1)
             self.tokens[slot] = self.cap.tokenizer.pad_id
             self.tokens[slot, 0] = self.cap.tokenizer.start_id
             self.pos[slot] = 0
             self.active[slot] = True
             self.slot_request[slot] = rid
+            admitted = True
+        if admitted:
+            self.cross = self._shard(
+                _cross_const_for(
+                    self.cap.params["decoder"]["layers"]["cross"],
+                    jnp.asarray(self._mem_rows),
+                ),
+                1,
+            )
 
     def _finish(self, slot: int) -> None:
         rid = self.slot_request[slot]
@@ -236,28 +315,37 @@ class CaptionService:
         self.slot_request[slot] = None
 
     def step(self) -> None:
-        """One decode step for all active slots + admissions/evictions."""
+        """One decode window (``steps_per_sync`` tokens) for all active
+        slots + admissions/evictions."""
         self._admit()
         if not self.active.any():
             return
+        end_id = self.cap.tokenizer.end_id
+        pad_id = self.cap.tokenizer.pad_id
         cur = self.tokens[np.arange(self.S), self.pos]
-        logits, self.k_cache, self.v_cache = service_decode_step(
+        ids, _, _, self.k_cache, self.v_cache = service_decode_window(
             self._prepared, self.cfg,
             jnp.asarray(cur), jnp.asarray(self.pos), jnp.asarray(self.active),
-            jnp.asarray(self.tokens == self.cap.tokenizer.pad_id),
-            self.k_cache, self.v_cache, self.cross, self.cd,
+            jnp.asarray(self.tokens == pad_id),
+            self.k_cache, self.v_cache, self.cross,
+            jnp.int32(end_id), jnp.int32(pad_id),
+            self.cd, self.steps_per_sync,
         )
-        nxt = np.asarray(jnp.argmax(logits, axis=-1), np.int32)
-        self.steps_run += 1
-        end_id = self.cap.tokenizer.end_id
-        # vectorized host bookkeeping for active slots
-        act = self.active
-        p = self.pos + 1
-        self.tokens[np.where(act)[0], p[act]] = nxt[act]
-        self.pos[act] = p[act]
-        done = act & ((nxt == end_id) | (p >= self.T - 1))
-        for slot in np.where(done)[0]:
-            self._finish(int(slot))
+        ids = np.asarray(ids)                           # (S, n_steps)
+        # replay the window's micro-steps in host bookkeeping (the device
+        # advanced slot state with identical semantics)
+        for i in range(ids.shape[1]):
+            act = self.active.copy()
+            if not act.any():
+                break
+            nxt = ids[:, i]
+            p = self.pos + 1
+            self.tokens[np.where(act)[0], p[act]] = nxt[act]
+            self.pos[act] = p[act]
+            self.steps_run += 1
+            done = act & ((nxt == end_id) | (p >= self.T - 1))
+            for slot in np.where(done)[0]:
+                self._finish(int(slot))
 
     # ------------------------------------------------------------------
     def run_to_completion(self, max_steps: int = 100000) -> Dict[int, List[int]]:

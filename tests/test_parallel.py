@@ -224,3 +224,26 @@ def test_sharded_greedy_decode():
     mem_sh = jax.device_put(memory, NamedSharding(mesh, P("data")))
     out, _ = greedy_generate(params_sh, TINY_DECODER, mem_sh, 2, 3, 0, 12)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
+def test_sharded_beam_decode():
+    """Batch-sharded beam search == single-device beam search (the beam
+    dimension is folded into batch, so DP sharding covers serving's beam
+    path too)."""
+    from mit_tpu.decode.beam import beam_generate
+
+    params = init_decoder_params(jax.random.PRNGKey(6), TINY_DECODER)
+    memory = jnp.asarray(
+        np.random.default_rng(6).normal(size=(8, 1, 32)), jnp.float32
+    )
+    ref, ref_scores = beam_generate(params, TINY_DECODER, memory, 2, 3, 0,
+                                    12, beam_size=3)
+
+    mesh = create_mesh((8, 1))
+    params_sh = replicate(params, mesh)
+    mem_sh = jax.device_put(memory, NamedSharding(mesh, P("data")))
+    out, scores = beam_generate(params_sh, TINY_DECODER, mem_sh, 2, 3, 0,
+                                12, beam_size=3)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+    np.testing.assert_allclose(np.asarray(ref_scores), np.asarray(scores),
+                               rtol=1e-5, atol=1e-6)

@@ -142,3 +142,18 @@ def test_service_mesh_slot_divisibility_enforced(captioner):
     mesh = create_mesh((8, 1))
     with pytest.raises(ValueError, match="divisible"):
         CaptionService(captioner, num_slots=6, mesh=mesh)
+
+
+@pytest.mark.parametrize("window", [2, 4, 7])
+def test_service_multi_step_window_token_identical(captioner, window):
+    """steps_per_sync>1 (device-side micro-step windows) == step-by-step."""
+    mems = _memories(captioner, 9, seed=5)
+    ref = CaptionService(captioner, num_slots=4)
+    rids_ref = [ref.submit_memory(mems[i]) for i in range(9)]
+    expect = ref.run_to_completion()
+
+    svc = CaptionService(captioner, num_slots=4, steps_per_sync=window)
+    rids = [svc.submit_memory(mems[i]) for i in range(9)]
+    got = svc.run_to_completion()
+    for a, b in zip(rids_ref, rids):
+        assert expect[a] == got[b]
