@@ -24,10 +24,21 @@ from mit_tpu.decode.step import (
 )
 
 
+def _bucket_schedule(max_len: int, first: int = 16) -> Tuple[int, ...]:
+    """Static KV-cache growth ladder: first, 2*first, ... capped at max_len."""
+    buckets = []
+    b = first
+    while b < max_len:
+        buckets.append(b)
+        b *= 2
+    buckets.append(max_len)
+    return tuple(buckets)
+
+
 @partial(
     jax.jit,
     static_argnames=("cfg", "start_id", "end_id", "pad_id", "max_len",
-                     "compute_dtype"),
+                     "compute_dtype", "bucket_sizes"),
 )
 def greedy_generate(
     params: dict,
@@ -39,15 +50,38 @@ def greedy_generate(
     max_len: int,
     memory_padding_mask: Optional[jnp.ndarray] = None,
     compute_dtype=jnp.float32,
+    bucket_sizes: Optional[Tuple[int, ...]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """→ (tokens (B, max_len) incl. leading START, lengths (B,)).
 
     ``lengths`` counts tokens incl. START and END (when generated).
     Positions past a sequence's END hold PAD.
+
+    KV-cache ladder: every step attends over the cache's full static extent
+    (masked tail included), so a max_len-sized cache makes even the first
+    step read B·L·2·max_len·D cache bytes from HBM — ~1.26 GB/step at the
+    flagship B=1024 config. Instead the cache grows through a static ladder
+    of sizes (default 16, 32, 64, ..., max_len): one ``while_loop`` per
+    bucket, copying the cache into the next size only when generation is
+    still running. Short captions (the trained-model case — END at ~12
+    tokens) never touch the big buckets, cutting cache traffic ~8x.
+    Token-identical to the single-bucket loop: masked positions are exact
+    zeros after softmax either way.
     """
     b = memory.shape[0]
+    if max_len > cfg.max_seq_len:
+        raise ValueError(
+            f"max_len={max_len} exceeds the positional table "
+            f"(max_seq_len={cfg.max_seq_len}); positions past it would "
+            "silently clamp."
+        )
+    if bucket_sizes is None:
+        bucket_sizes = _bucket_schedule(max_len)
+    assert tuple(sorted(set(bucket_sizes))) == tuple(bucket_sizes) and (
+        bucket_sizes[-1] == max_len
+    ), f"bucket_sizes must be increasing and end at max_len: {bucket_sizes}"
     cache = init_cache(
-        params, cfg, memory, memory_padding_mask, max_len, compute_dtype
+        params, cfg, memory, memory_padding_mask, bucket_sizes[0], compute_dtype
     )
     # cast + qkv-fuse weights once, outside the decode loop
     params = prepare_decode_params(params, compute_dtype)
@@ -55,26 +89,48 @@ def greedy_generate(
     tokens = tokens.at[:, 0].set(start_id)
     finished = jnp.zeros((b,), bool)
 
-    def cond(state):
-        pos, tokens, finished, cache = state
-        return jnp.logical_and(pos < max_len - 1, ~jnp.all(finished))
+    def make_cond(bucket):
+        def cond(state):
+            pos, tokens, finished, cache = state
+            running = jnp.logical_and(pos < max_len - 1, ~jnp.all(finished))
+            return jnp.logical_and(running, pos < bucket)
 
-    def body(state):
-        pos, tokens, finished, cache = state
-        cur = jax.lax.dynamic_index_in_dim(tokens, pos, axis=1, keepdims=False)
-        logits, cache = decoder_step(
-            params, cfg, cur, pos, cache, compute_dtype,
-            key_pad=tokens == pad_id,
+        return cond
+
+    def make_body(bucket):
+        def body(state):
+            pos, tokens, finished, cache = state
+            cur = jax.lax.dynamic_index_in_dim(
+                tokens, pos, axis=1, keepdims=False
+            )
+            logits, cache = decoder_step(
+                params, cfg, cur, pos, cache, compute_dtype,
+                key_pad=(tokens == pad_id)[:, :bucket],
+            )
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            nxt = jnp.where(finished, pad_id, nxt)
+            tokens = tokens.at[:, pos + 1].set(nxt)
+            finished = jnp.logical_or(finished, nxt == end_id)
+            return pos + 1, tokens, finished, cache
+
+        return body
+
+    state = (jnp.asarray(0, jnp.int32), tokens, finished, cache)
+    for i, bucket in enumerate(bucket_sizes):
+        if i > 0:
+            pos, tokens, finished, cache = state
+            grow = lambda a: (
+                jnp.zeros(
+                    a.shape[:3] + (bucket,) + a.shape[4:], a.dtype
+                ).at[:, :, :, : a.shape[3]].set(a)
+            )
+            cache = cache._replace(k=grow(cache.k), v=grow(cache.v))
+            state = (pos, tokens, finished, cache)
+        # a step at pos needs cache slot pos, so this bucket serves pos < bucket
+        state = jax.lax.while_loop(
+            make_cond(bucket), make_body(bucket), state
         )
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        nxt = jnp.where(finished, pad_id, nxt)
-        tokens = tokens.at[:, pos + 1].set(nxt)
-        finished = jnp.logical_or(finished, nxt == end_id)
-        return pos + 1, tokens, finished, cache
-
-    _, tokens, finished, _ = jax.lax.while_loop(
-        cond, body, (jnp.asarray(0, jnp.int32), tokens, finished, cache)
-    )
+    _, tokens, finished, _ = state
     lengths = jnp.sum(tokens != pad_id, axis=1)
     return tokens, lengths
 

@@ -92,6 +92,22 @@ def test_cached_greedy_equals_uncached(params, memory):
         assert (row[lengths[i]:] == PAD).all()
 
 
+def test_bucket_ladder_matches_single_bucket(params, memory):
+    """The geometric KV-cache ladder (16→32→...) must be token-identical to
+    one max_len-sized cache: masked cache positions are exact softmax zeros
+    either way, so only HBM traffic changes."""
+    single, len_s = greedy_generate(
+        params, CFG, memory, START, END, PAD, MAXLEN,
+        bucket_sizes=(MAXLEN,),
+    )
+    ladder, len_l = greedy_generate(
+        params, CFG, memory, START, END, PAD, MAXLEN,
+        bucket_sizes=(4, 8, MAXLEN),
+    )
+    np.testing.assert_array_equal(np.asarray(single), np.asarray(ladder))
+    np.testing.assert_array_equal(np.asarray(len_s), np.asarray(len_l))
+
+
 def test_greedy_starts_with_start_token(params, memory):
     tokens, _ = greedy_generate(params, CFG, memory, START, END, PAD, MAXLEN)
     assert (np.asarray(tokens)[:, 0] == START).all()
