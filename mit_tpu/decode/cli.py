@@ -32,6 +32,11 @@ def main(argv=None) -> int:
         "--data_dir", type=str, default=None,
         help="Override config DATA_DIR (tokenizer/checkpoint location).",
     )
+    parser.add_argument(
+        "--encoder_quant", type=str, default="none", choices=["none", "int8"],
+        help="Quantize the frozen encoder's GEMMs to int8 (W8A8) at load — "
+        "the MXU serving fast path (~1%% feature error).",
+    )
     args = parser.parse_args(argv)
 
     from mit_tpu.config import CONFIG
@@ -72,7 +77,7 @@ def main(argv=None) -> int:
     from mit_tpu.decode.api import load_captioner
 
     print(f"Loading model from {ckpt_path}...")
-    captioner = load_captioner(ckpt_path, cfg)
+    captioner = load_captioner(ckpt_path, cfg, encoder_quant=args.encoder_quant)
     images = [Image.open(p).convert("RGB") for p in args.image_path]
     print("Generating text...")
     captions = captioner.caption_batch(

@@ -136,12 +136,23 @@ def encode_images(
     last_hidden_state[:, 0, :]) or (B, N+1, H_enc) in "full" mode.
     Projection is trainable and therefore applied downstream, so cached
     features stay valid across training.
+
+    A quantized encoder subtree (from
+    :func:`mit_tpu.models.vision.quantize_vision_params`) routes through
+    the int8 GEMM path automatically — opt in by quantizing once at load.
     """
     cls_only = mcfg.memory_mode == "cls"
-    hidden = vision_forward(
-        params["encoder"], mcfg.vision, pixel_values, compute_dtype,
-        cls_only=cls_only,
-    )
+    enc = params["encoder"]
+    if "patch" in enc:                  # int8 tree (quantize_vision_params)
+        from mit_tpu.models.vision import vision_forward_int8
+
+        hidden = vision_forward_int8(
+            enc, mcfg.vision, pixel_values, compute_dtype, cls_only=cls_only
+        )
+    else:
+        hidden = vision_forward(
+            enc, mcfg.vision, pixel_values, compute_dtype, cls_only=cls_only
+        )
     return jax.lax.stop_gradient(hidden)
 
 

@@ -292,6 +292,149 @@ def vision_forward(
 
 
 # ----------------------------------------------------------------------
+# int8 quantized inference path (W8A8 on the GEMMs, opt-in).
+#
+# The encoder is FROZEN (reference model.py:85-89), so post-training
+# quantization costs nothing at train time and no gradients ever meet the
+# int8 weights. The v5e MXU runs int8 at 2x bf16 peak (measured 1.72x on
+# GEMM chains); ~96% of ViT FLOPs are plain GEMMs, so those run int8 while
+# layernorm / softmax-attention / GELU / residuals stay bf16-fp32.
+# ----------------------------------------------------------------------
+def quantize_vision_params(params: dict, cfg: VisionConfig) -> dict:
+    """Float encoder params → int8 GEMM weights (QuantizedLinear leaves).
+
+    Per-output-channel symmetric scales, computed once at load time.
+    Non-GEMM params (layernorms, cls, pos) pass through unchanged.
+    """
+    from mit_tpu.ops.quant import quantize_weight
+
+    lay = params["layers"]
+    attn = lay["attn"]
+    qp = {
+        "patch": quantize_weight(
+            params["patch_w"],
+            params.get("patch_b") if cfg.patch_bias else None,
+        ),
+        "cls": params["cls"],
+        "pos": params["pos"],
+        "layers": {
+            "attn": {
+                k: quantize_weight(attn[f"w{k}"], attn[f"b{k}"])
+                for k in "qkvo"
+            },
+            "ln1": lay["ln1"],
+            "ln2": lay["ln2"],
+            "fc1": quantize_weight(lay["fc1"], lay["b1"]),
+            "fc2": quantize_weight(lay["fc2"], lay["b2"]),
+        },
+    }
+    for k in ("ln_pre", "ln_post"):
+        if k in params:
+            qp[k] = params[k]
+    return qp
+
+
+def _attention_btd(q, k, v, head_dim, use_pallas):
+    """Bidirectional attention on (B, T, D) activations, flash or XLA."""
+    from mit_tpu.ops.pallas_attention import (
+        _btd_fits_vmem,
+        _xla_attention_btd,
+        flash_attention_btd,
+    )
+
+    pad0 = jnp.zeros((q.shape[0], k.shape[1]), jnp.float32)
+    if use_pallas and _btd_fits_vmem(q, k, head_dim):
+        return flash_attention_btd(q, k, v, pad0, False, head_dim)
+    return _xla_attention_btd(q, k, v, pad0, False, head_dim)
+
+
+def vision_forward_int8(
+    qparams: dict,
+    cfg: VisionConfig,
+    pixel_values: jnp.ndarray,            # (B, 3, H, W) fp32, NCHW
+    compute_dtype=jnp.bfloat16,
+    use_pallas: bool = None,
+    cls_only: bool = False,
+) -> jnp.ndarray:
+    """int8-GEMM twin of :func:`vision_forward` over quantized params.
+
+    Same structure and masks; every GEMM (patch embed, QKV/out projections,
+    MLP) runs int8xint8→int32 on the MXU with per-token dynamic activation
+    scales. Returns last_hidden_state (B, N+1, D) — or (B, 1, D) with
+    ``cls_only`` (same last-layer narrowing as the float path).
+    """
+    from mit_tpu.ops.quant import int8_matmul
+
+    if use_pallas is None:
+        from mit_tpu.ops.pallas_attention import pallas_enabled
+
+        use_pallas = pallas_enabled()
+    cd = compute_dtype
+    eps = cfg.layer_norm_eps
+    b = pixel_values.shape[0]
+    d = cfg.hidden_size
+    hd = d // cfg.num_heads
+
+    patches = _patchify(pixel_values.astype(cd), cfg.patch_size)
+    x = int8_matmul(patches, qparams["patch"], cd)
+    cls = jnp.broadcast_to(qparams["cls"].astype(cd), (b, 1, d))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + qparams["pos"].astype(cd)[None, :, :]
+    if cfg.ln_pre:
+        x = layer_norm(qparams["ln_pre"], x, eps)
+
+    act = _quick_gelu if cfg.hidden_act == "quick_gelu" else jax.nn.gelu
+    exact = cfg.hidden_act != "quick_gelu"
+
+    def attn_block(x, layer, q_rows=None):
+        """Attention sublayer; q_rows narrows queries (CLS-only last layer)."""
+        h = layer_norm(layer["ln1"], x, eps)
+        a = layer["attn"]
+        if q_rows is None:
+            q = int8_matmul(h, a["q"], cd)
+            k = int8_matmul(h, a["k"], cd)
+            v = int8_matmul(h, a["v"], cd)
+            ctx = _attention_btd(q, k, v, hd, use_pallas)
+            return x + int8_matmul(ctx, a["o"], cd)
+        q1 = int8_matmul(h[:, :q_rows], a["q"], cd)
+        k = int8_matmul(h, a["k"], cd)
+        v = int8_matmul(h, a["v"], cd)
+        bsz, s, _ = k.shape
+        q1 = q1.reshape(bsz, cfg.num_heads, hd)
+        kh = k.reshape(bsz, s, cfg.num_heads, hd)
+        vh = v.reshape(bsz, s, cfg.num_heads, hd)
+        scores = jnp.einsum(
+            "bhd,bshd->bhs", q1.astype(jnp.float32), kh.astype(jnp.float32)
+        ) / math.sqrt(hd)
+        probs = jax.nn.softmax(scores, axis=-1)
+        ctx = jnp.einsum("bhs,bshd->bhd", probs.astype(cd), vh)
+        return x[:, :q_rows] + int8_matmul(
+            ctx.reshape(bsz, q_rows, d), a["o"], cd
+        )
+
+    def mlp_block(x, layer):
+        h = layer_norm(layer["ln2"], x, eps)
+        h = int8_matmul(h, layer["fc1"], cd)
+        h = jax.nn.gelu(h, approximate=False) if exact else act(h)
+        return x + int8_matmul(h, layer["fc2"], cd)
+
+    def body(x, layer):
+        return mlp_block(attn_block(x, layer), layer), None
+
+    if not cls_only:
+        x, _ = jax.lax.scan(body, x, qparams["layers"])
+    else:
+        lay = qparams["layers"]
+        x, _ = jax.lax.scan(body, x, jax.tree.map(lambda a: a[:-1], lay))
+        layer = jax.tree.map(lambda a: a[-1], lay)
+        x = mlp_block(attn_block(x, layer, q_rows=1), layer)
+
+    if cfg.ln_post:
+        x = layer_norm(qparams["ln_post"], x, eps)
+    return x
+
+
+# ----------------------------------------------------------------------
 # HF weight conversion (torch/safetensors state dicts → our pytree)
 # ----------------------------------------------------------------------
 def _np(a):
