@@ -35,6 +35,83 @@ def _bucket_schedule(max_len: int, first: int = 16) -> Tuple[int, ...]:
     return tuple(buckets)
 
 
+def check_bucket_sizes(bucket_sizes, max_len: int) -> Tuple[int, ...]:
+    if bucket_sizes is None:
+        bucket_sizes = _bucket_schedule(max_len)
+    assert tuple(sorted(set(bucket_sizes))) == tuple(bucket_sizes) and (
+        bucket_sizes[-1] == max_len
+    ), f"bucket_sizes must be increasing and end at max_len: {bucket_sizes}"
+    return tuple(bucket_sizes)
+
+
+def laddered_decode_loop(
+    params: dict,                      # prepare_decode_params output
+    cfg: DecoderConfig,
+    cache,
+    tokens: jnp.ndarray,               # (B, max_len), slot 0 = START
+    select_fn,                         # (logits (B,V) f32, extra) → (nxt, extra)
+    extra,                             # pytree threaded through select_fn
+    end_id: int,
+    pad_id: int,
+    max_len: int,
+    bucket_sizes: Tuple[int, ...],
+    compute_dtype,
+):
+    """Shared KV-cache-ladder token loop → (tokens, finished, extra).
+
+    Runs one ``while_loop`` per cache bucket; between buckets the cache is
+    copied into the next static size only when generation is still running,
+    so sequences that END early never touch (or pay HBM reads for) the big
+    buckets. ``cache`` must be allocated at ``bucket_sizes[0]``.
+    Token-identical to a single max_len-sized cache: masked cache positions
+    are exact softmax zeros either way.
+    """
+    b = tokens.shape[0]
+    finished = jnp.zeros((b,), bool)
+
+    def make_cond(bucket):
+        def cond(state):
+            pos, tokens, finished, cache, extra = state
+            running = jnp.logical_and(pos < max_len - 1, ~jnp.all(finished))
+            return jnp.logical_and(running, pos < bucket)
+
+        return cond
+
+    def make_body(bucket):
+        def body(state):
+            pos, tokens, finished, cache, extra = state
+            cur = jax.lax.dynamic_index_in_dim(
+                tokens, pos, axis=1, keepdims=False
+            )
+            logits, cache = decoder_step(
+                params, cfg, cur, pos, cache, compute_dtype,
+                key_pad=(tokens == pad_id)[:, :bucket],
+            )
+            nxt, extra = select_fn(logits, extra)
+            nxt = jnp.where(finished, pad_id, nxt.astype(jnp.int32))
+            tokens = tokens.at[:, pos + 1].set(nxt)
+            finished = jnp.logical_or(finished, nxt == end_id)
+            return pos + 1, tokens, finished, cache, extra
+
+        return body
+
+    state = (jnp.asarray(0, jnp.int32), tokens, finished, cache, extra)
+    for i, bucket in enumerate(bucket_sizes):
+        if i > 0:
+            pos, tokens, finished, cache, extra = state
+            grow = lambda a: (
+                jnp.zeros(
+                    a.shape[:3] + (bucket,) + a.shape[4:], a.dtype
+                ).at[:, :, :, : a.shape[3]].set(a)
+            )
+            cache = cache._replace(k=grow(cache.k), v=grow(cache.v))
+            state = (pos, tokens, finished, cache, extra)
+        # a step at pos needs cache slot pos, so this bucket serves pos < bucket
+        state = jax.lax.while_loop(make_cond(bucket), make_body(bucket), state)
+    _, tokens, finished, _, extra = state
+    return tokens, finished, extra
+
+
 @partial(
     jax.jit,
     static_argnames=("cfg", "start_id", "end_id", "pad_id", "max_len",
@@ -75,11 +152,7 @@ def greedy_generate(
             f"(max_seq_len={cfg.max_seq_len}); positions past it would "
             "silently clamp."
         )
-    if bucket_sizes is None:
-        bucket_sizes = _bucket_schedule(max_len)
-    assert tuple(sorted(set(bucket_sizes))) == tuple(bucket_sizes) and (
-        bucket_sizes[-1] == max_len
-    ), f"bucket_sizes must be increasing and end at max_len: {bucket_sizes}"
+    bucket_sizes = check_bucket_sizes(bucket_sizes, max_len)
     cache = init_cache(
         params, cfg, memory, memory_padding_mask, bucket_sizes[0], compute_dtype
     )
@@ -87,50 +160,14 @@ def greedy_generate(
     params = prepare_decode_params(params, compute_dtype)
     tokens = jnp.full((b, max_len), pad_id, jnp.int32)
     tokens = tokens.at[:, 0].set(start_id)
-    finished = jnp.zeros((b,), bool)
 
-    def make_cond(bucket):
-        def cond(state):
-            pos, tokens, finished, cache = state
-            running = jnp.logical_and(pos < max_len - 1, ~jnp.all(finished))
-            return jnp.logical_and(running, pos < bucket)
+    def select(logits, extra):
+        return jnp.argmax(logits, axis=-1), extra
 
-        return cond
-
-    def make_body(bucket):
-        def body(state):
-            pos, tokens, finished, cache = state
-            cur = jax.lax.dynamic_index_in_dim(
-                tokens, pos, axis=1, keepdims=False
-            )
-            logits, cache = decoder_step(
-                params, cfg, cur, pos, cache, compute_dtype,
-                key_pad=(tokens == pad_id)[:, :bucket],
-            )
-            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            nxt = jnp.where(finished, pad_id, nxt)
-            tokens = tokens.at[:, pos + 1].set(nxt)
-            finished = jnp.logical_or(finished, nxt == end_id)
-            return pos + 1, tokens, finished, cache
-
-        return body
-
-    state = (jnp.asarray(0, jnp.int32), tokens, finished, cache)
-    for i, bucket in enumerate(bucket_sizes):
-        if i > 0:
-            pos, tokens, finished, cache = state
-            grow = lambda a: (
-                jnp.zeros(
-                    a.shape[:3] + (bucket,) + a.shape[4:], a.dtype
-                ).at[:, :, :, : a.shape[3]].set(a)
-            )
-            cache = cache._replace(k=grow(cache.k), v=grow(cache.v))
-            state = (pos, tokens, finished, cache)
-        # a step at pos needs cache slot pos, so this bucket serves pos < bucket
-        state = jax.lax.while_loop(
-            make_cond(bucket), make_body(bucket), state
-        )
-    _, tokens, finished, _ = state
+    tokens, _, _ = laddered_decode_loop(
+        params, cfg, cache, tokens, select, (), end_id, pad_id, max_len,
+        bucket_sizes, compute_dtype,
+    )
     lengths = jnp.sum(tokens != pad_id, axis=1)
     return tokens, lengths
 

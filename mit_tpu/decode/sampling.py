@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from mit_tpu.models.decoder import DecoderConfig
-from mit_tpu.decode.step import decoder_step, init_cache, prepare_decode_params
+from mit_tpu.decode.step import init_cache, prepare_decode_params
 
 _NEG = -1e30
 
@@ -53,7 +53,8 @@ def filter_logits(
 @partial(
     jax.jit,
     static_argnames=("cfg", "start_id", "end_id", "pad_id", "max_len",
-                     "temperature", "top_k", "top_p", "compute_dtype"),
+                     "temperature", "top_k", "top_p", "compute_dtype",
+                     "bucket_sizes"),
 )
 def sample_generate(
     params: dict,
@@ -69,37 +70,32 @@ def sample_generate(
     top_p: float = 1.0,
     memory_padding_mask: Optional[jnp.ndarray] = None,
     compute_dtype=jnp.float32,
+    bucket_sizes: Optional[Tuple[int, ...]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """→ (tokens (B, max_len), lengths (B,)); greedy loop with a sampled
-    next-token rule. temperature=0 degenerates to argmax (greedy)."""
+    next-token rule. temperature=0 degenerates to argmax (greedy).
+
+    Uses the same KV-cache growth ladder as greedy_generate (see
+    laddered_decode_loop): short sampled captions never pay HBM reads for
+    the masked max_len cache tail."""
+    from mit_tpu.decode.greedy import check_bucket_sizes, laddered_decode_loop
+
     b = memory.shape[0]
-    cache = init_cache(params, cfg, memory, memory_padding_mask, max_len,
-                       compute_dtype)
+    bucket_sizes = check_bucket_sizes(bucket_sizes, max_len)
+    cache = init_cache(params, cfg, memory, memory_padding_mask,
+                       bucket_sizes[0], compute_dtype)
     prepared = prepare_decode_params(params, compute_dtype)
     tokens = jnp.full((b, max_len), pad_id, jnp.int32).at[:, 0].set(start_id)
-    finished = jnp.zeros((b,), bool)
 
-    def cond(state):
-        pos, tokens, finished, cache, rng = state
-        return jnp.logical_and(pos < max_len - 1, ~jnp.all(finished))
-
-    def body(state):
-        pos, tokens, finished, cache, rng = state
-        cur = jax.lax.dynamic_index_in_dim(tokens, pos, axis=1, keepdims=False)
-        logits, cache = decoder_step(prepared, cfg, cur, pos, cache,
-                                     compute_dtype, key_pad=tokens == pad_id)
+    def select(logits, rng):
         if temperature == 0.0:
-            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        else:
-            filtered = filter_logits(logits, temperature, top_k, top_p)
-            rng, sub = jax.random.split(rng)
-            nxt = jax.random.categorical(sub, filtered).astype(jnp.int32)
-        nxt = jnp.where(finished, pad_id, nxt)
-        tokens = tokens.at[:, pos + 1].set(nxt)
-        finished = jnp.logical_or(finished, nxt == end_id)
-        return pos + 1, tokens, finished, cache, rng
+            return jnp.argmax(logits, axis=-1), rng
+        filtered = filter_logits(logits, temperature, top_k, top_p)
+        rng, sub = jax.random.split(rng)
+        return jax.random.categorical(sub, filtered), rng
 
-    _, tokens, _, _, _ = jax.lax.while_loop(
-        cond, body, (jnp.asarray(0, jnp.int32), tokens, finished, cache, rng)
+    tokens, _, _ = laddered_decode_loop(
+        prepared, cfg, cache, tokens, select, rng, end_id, pad_id, max_len,
+        bucket_sizes, compute_dtype,
     )
     return tokens, jnp.sum(tokens != pad_id, axis=1)

@@ -67,6 +67,18 @@ def test_sampling_deterministic_per_key_and_varies_across_keys(params, memory):
     assert not np.array_equal(np.asarray(a1), np.asarray(b))
 
 
+def test_sampling_bucket_ladder_matches_single_bucket(params, memory):
+    """The KV-cache ladder must be token-identical for the same rng key:
+    each executed step consumes exactly one rng split either way."""
+    single, _ = sample_generate(params, CFG, memory, jax.random.PRNGKey(11),
+                                START, END, PAD, MAXLEN, temperature=1.0,
+                                bucket_sizes=(MAXLEN,))
+    ladder, _ = sample_generate(params, CFG, memory, jax.random.PRNGKey(11),
+                                START, END, PAD, MAXLEN, temperature=1.0,
+                                bucket_sizes=(4, 8, MAXLEN))
+    np.testing.assert_array_equal(np.asarray(single), np.asarray(ladder))
+
+
 def test_sampling_respects_top_k_one(params, memory):
     """top_k=1 forces argmax regardless of temperature."""
     g, _ = greedy_generate(params, CFG, memory, START, END, PAD, MAXLEN)
