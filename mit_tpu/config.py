@@ -126,6 +126,11 @@ class Config:
     #   any other string — an explicit repo id / directory / weights file,
     #                loaded as "required".
     PRETRAINED_ENCODER: str = "auto"
+    # Quantize the frozen encoder's GEMMs to int8 (W8A8) for the training
+    # compute path ("int8"): 2x MXU peak on v5e, ~1% feature error, no
+    # gradient impact (the encoder is frozen). Checkpoints always keep the
+    # float encoder weights. "none" = bf16/fp32 encoder.
+    ENCODER_QUANT: str = "none"
 
     # --- Derived paths (reference config.py:17-24, 121-124) ---
     @property

@@ -26,6 +26,11 @@ def main(argv=None) -> int:
                         help="Disable the frozen-encoder feature cache.")
     parser.add_argument("--mesh", type=str, default=None,
                         help="Device mesh 'data,model' e.g. '8,1'.")
+    parser.add_argument("--encoder_quant", type=str, default=None,
+                        choices=["none", "int8"],
+                        help="int8 = W8A8-quantize the frozen encoder for "
+                        "the training compute path (checkpoints keep float "
+                        "weights).")
     args = parser.parse_args(argv)
 
     from mit_tpu.config import CONFIG
@@ -50,6 +55,8 @@ def main(argv=None) -> int:
     if args.mesh:
         d, m = (int(x) for x in args.mesh.split(","))
         cfg = cfg.replace(MESH_SHAPE=(d, m))
+    if args.encoder_quant:
+        cfg = cfg.replace(ENCODER_QUANT=args.encoder_quant)
 
     from mit_tpu.train.loop import train
 

@@ -192,13 +192,30 @@ def train(
     mcfg, params = build_model_params(cfg, mcfg, k_init, actual_vocab_size)
     trainable, frozen = split_trainable(params)
 
+    # Optional W8A8 quantization of the frozen encoder for the COMPUTE path
+    # only — `frozen` keeps the float weights for checkpoint export.
+    step_encoder = frozen
+    if cfg.ENCODER_QUANT == "int8":
+        from mit_tpu.models.vision import quantize_vision_params
+
+        step_encoder = {
+            "encoder": jax.jit(
+                lambda p: quantize_vision_params(p, mcfg.vision)
+            )(frozen["encoder"])
+        }
+        print("Frozen encoder quantized to int8 (W8A8) for training compute.")
+    elif cfg.ENCODER_QUANT != "none":
+        raise ValueError(
+            f"ENCODER_QUANT must be 'none' or 'int8', got {cfg.ENCODER_QUANT!r}"
+        )
+
     # --- frozen-feature cache (encoder leaves the train step entirely) ---
     use_cache = cfg.CACHE_ENCODER_FEATURES and cfg.MEMORY_MODE == "cls"
     cache = None
     if use_cache:
         print("Building frozen-encoder feature cache ...")
         cache = FeatureCache.build(
-            dataset, frozen["encoder"], mcfg,
+            dataset, step_encoder["encoder"], mcfg,
             batch_size=min(cfg.BATCH_SIZE, 64), num_workers=cfg.NUM_WORKERS,
         )
         print(f"Feature cache: {cache.features.shape}, "
@@ -230,7 +247,7 @@ def train(
     eval_step = make_eval_step(
         mcfg, cfg.PAD_TOKEN_ID, compute_dtype, from_features=use_cache
     )
-    step_frozen = {} if use_cache else frozen
+    step_frozen = {} if use_cache else step_encoder
 
     # --- resume (reference train.py:343-375) ---
     start_epoch, best_val_loss = 0, float("inf")
