@@ -344,7 +344,8 @@ def _attention_btd(q, k, v, head_dim, use_pallas):
 
     pad0 = jnp.zeros((q.shape[0], k.shape[1]), jnp.float32)
     if use_pallas and _btd_fits_vmem(q, k, head_dim):
-        return flash_attention_btd(q, k, v, pad0, False, head_dim)
+        return flash_attention_btd(q, k, v, pad0, False, head_dim,
+                                   has_pad=False)
     return _xla_attention_btd(q, k, v, pad0, False, head_dim)
 
 

@@ -100,7 +100,10 @@ def multihead_attention(
         v = (kv_in.astype(cd) @ params["wv"].astype(cd)) + params["bv"].astype(cd)
 
     if flash_path:
+        has_pad = pad_add is not None
         if pad_add is None:
+            # dummy zeros operand keeps the kernel signature uniform; the
+            # kernel skips its add entirely when has_pad=False
             pad_add = jnp.zeros((kv_in.shape[0], kv_in.shape[1]), jnp.float32)
         if dropout_active:
             from mit_tpu.ops.pallas_dropout_attention import (
@@ -125,7 +128,8 @@ def multihead_attention(
 
             if _btd_fits_vmem(q, k, hd):
                 # native-layout kernel: no head split/merge transposes
-                out = flash_attention_btd(q, k, v, pad_add, causal, hd)
+                out = flash_attention_btd(q, k, v, pad_add, causal, hd,
+                                          has_pad)
             else:  # huge models: per-head grid streams one head at a time
                 ctx = flash_attention(
                     _split_heads(q, num_heads), _split_heads(k, num_heads),

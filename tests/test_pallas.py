@@ -77,6 +77,27 @@ def test_flash_btd_matches_xla(causal, t, s):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("causal", [True, False])
+def test_flash_btd_no_pad_variant_matches(causal):
+    """has_pad=False (encoder fast path: pad row skipped in-kernel) must
+    match has_pad=True with a zero pad row to fp tolerance (not bit-equal:
+    `scores*scale + pad` can compile to an FMA whose unrounded intermediate
+    differs from the two-step rounding)."""
+    from mit_tpu.ops.pallas_attention import flash_attention_btd
+
+    r = np.random.default_rng(6)
+    B, H, HD, T = 2, 4, 32, 21
+    D = H * HD
+    q = jnp.asarray(r.normal(size=(B, T, D)), jnp.float32)
+    k = jnp.asarray(r.normal(size=(B, T, D)), jnp.float32)
+    v = jnp.asarray(r.normal(size=(B, T, D)), jnp.float32)
+    pad0 = jnp.zeros((B, T), jnp.float32)
+    with_pad = flash_attention_btd(q, k, v, pad0, causal, HD, True)
+    no_pad = flash_attention_btd(q, k, v, pad0, causal, HD, False)
+    np.testing.assert_allclose(np.asarray(with_pad), np.asarray(no_pad),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_flash_btd_backward_matches_xla():
     from mit_tpu.ops.pallas_attention import (
         _xla_attention_btd,
