@@ -216,6 +216,22 @@ def main():
     ips_trained, lengths, dt_trained = timed(trained)
     ips_worst, _, _ = timed(params)        # random weights: all 100 steps
 
+    # int8 (W8A8) frozen-encoder serving path: same pipeline, encoder GEMMs
+    # on the MXU's int8 mode. Caption agreement vs the bf16 pipeline is the
+    # quality check (tokens, not features).
+    from mit_tpu.models.vision import quantize_vision_params
+
+    trained_q = dict(trained)
+    trained_q["encoder"] = jax.jit(
+        lambda p: quantize_vision_params(p, mcfg.vision)
+    )(trained["encoder"])
+    tokens_bf16 = np.asarray(caption_kernel(trained, images)[0])
+    ips_int8, _, _ = timed(trained_q)
+    tokens_int8 = np.asarray(caption_kernel(trained_q, images)[0])
+    int8_caption_match = float(
+        np.mean(np.all(tokens_bf16 == tokens_int8, axis=1))
+    )
+
     # MFU: analytic FLOPs of the work actually executed. The while_loop
     # runs until the LAST sequence in the batch emits END.
     steps_executed = int(lengths.max())
@@ -234,6 +250,8 @@ def main():
                 "unit": "images/sec/chip",
                 "vs_baseline": round(headline / baseline_per_chip, 3),
                 "worst_case_full_length_ips": round(ips_worst, 2),
+                "int8_encoder_ips": round(ips_int8, 2),
+                "int8_caption_match": round(int8_caption_match, 4),
                 "decode_len_p50": int(np.median(lengths)),
                 "decode_steps_executed": steps_executed,
                 "train_loss_after_prep": round(final_loss, 4),

@@ -22,6 +22,10 @@ def main(argv=None) -> int:
     parser.add_argument("--batch_size", type=int, default=32)
     parser.add_argument("--split", type=str, default="val",
                         choices=["val", "train", "all"])
+    parser.add_argument("--encoder_quant", type=str, default="none",
+                        choices=["none", "int8"],
+                        help="int8 = W8A8-quantize the frozen encoder at "
+                        "load (quantified-quality evaluation).")
     args = parser.parse_args(argv)
 
     from mit_tpu.config import CONFIG
@@ -34,7 +38,8 @@ def main(argv=None) -> int:
         print(f"Checkpoint not found: {args.checkpoint_path}", file=sys.stderr)
         return 1
 
-    captioner = load_captioner(args.checkpoint_path, cfg)
+    captioner = load_captioner(args.checkpoint_path, cfg,
+                               encoder_quant=args.encoder_quant)
     cfg = captioner.cfg
     dataset = ImageTextDataset(
         cfg.IMAGE_DIR, cfg.CAPTIONS_FILE, cfg.MAX_SEQ_LEN,
@@ -51,7 +56,8 @@ def main(argv=None) -> int:
         captioner, paths, refs, batch_size=args.batch_size,
         method=args.method, max_images=args.limit,
     )
-    print(json.dumps({"split": args.split, "method": args.method, **result}))
+    print(json.dumps({"split": args.split, "method": args.method,
+                      "encoder_quant": args.encoder_quant, **result}))
     return 0
 
 
