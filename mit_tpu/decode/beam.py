@@ -40,7 +40,7 @@ _NEG = -1e30
 @partial(
     jax.jit,
     static_argnames=("cfg", "start_id", "end_id", "pad_id", "max_len",
-                     "beam_size", "compute_dtype"),
+                     "beam_size", "compute_dtype", "bucket_sizes"),
 )
 def beam_generate(
     params: dict,
@@ -53,21 +53,32 @@ def beam_generate(
     beam_size: int = 3,
     memory_padding_mask: Optional[jnp.ndarray] = None,
     compute_dtype=jnp.float32,
+    bucket_sizes: Optional[Tuple[int, ...]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """→ (tokens (B, max_len), scores (B,)) — best beam per item.
 
     ``scores`` is the sum of token log-probabilities of the returned beam.
+
+    Uses the same KV-cache growth ladder as greedy/sampling (one
+    ``while_loop`` per static cache size, the cache copied up only while
+    some beam is alive) — at B·K decoder rows the masked-tail traffic of a
+    full-size cache is K× greedy's, so the cut matters even more here.
     """
     b, s, d = memory.shape
     k = beam_size
     v = cfg.vocab_size
+
+    from mit_tpu.decode.greedy import check_bucket_sizes
+
+    bucket_sizes = check_bucket_sizes(bucket_sizes, max_len)
 
     # Expand memory to (B*K, S, D): rows grouped per item [i0b0..i0bk, i1b0..].
     mem = jnp.repeat(memory, k, axis=0)
     mem_mask = (
         None if memory_padding_mask is None else jnp.repeat(memory_padding_mask, k, 0)
     )
-    cache = init_cache(params, cfg, mem, mem_mask, max_len, compute_dtype)
+    cache = init_cache(params, cfg, mem, mem_mask, bucket_sizes[0],
+                       compute_dtype)
     # cast + qkv-fuse weights once, outside the decode loop
     params = prepare_decode_params(params, compute_dtype)
 
@@ -80,40 +91,62 @@ def beam_generate(
 
     item_offset = (jnp.arange(b) * k)[:, None]          # (B,1)
 
-    def cond(state):
-        pos, tokens, scores, finished, cache = state
-        return jnp.logical_and(pos < max_len - 1, ~jnp.all(finished))
+    def make_cond(bucket):
+        def cond(state):
+            pos, tokens, scores, finished, cache = state
+            running = jnp.logical_and(pos < max_len - 1, ~jnp.all(finished))
+            return jnp.logical_and(running, pos < bucket)
 
-    def body(state):
-        pos, tokens, scores, finished, cache = state
-        cur = jax.lax.dynamic_index_in_dim(tokens, pos, axis=1, keepdims=False)
-        logits, cache = decoder_step(
-            params, cfg, cur, pos, cache, compute_dtype,
-            key_pad=tokens == pad_id,
-        )
-        logp = jax.nn.log_softmax(logits, axis=-1).reshape(b, k, v)
+        return cond
 
-        # Finished beams: force PAD continuation at zero incremental score.
-        pad_onehot = jnp.where(jnp.arange(v)[None, None, :] == pad_id, 0.0, _NEG)
-        logp = jnp.where(finished[..., None], pad_onehot, logp)
+    def make_body(bucket):
+        def body(state):
+            pos, tokens, scores, finished, cache = state
+            cur = jax.lax.dynamic_index_in_dim(
+                tokens, pos, axis=1, keepdims=False
+            )
+            logits, cache = decoder_step(
+                params, cfg, cur, pos, cache, compute_dtype,
+                key_pad=(tokens == pad_id)[:, :bucket],
+            )
+            logp = jax.nn.log_softmax(logits, axis=-1).reshape(b, k, v)
 
-        total = scores[..., None] + logp                 # (B, K, V)
-        flat = total.reshape(b, k * v)
-        new_scores, flat_idx = jax.lax.top_k(flat, k)    # (B, K)
-        src_beam = flat_idx // v                         # (B, K) parent beam
-        new_tok = (flat_idx % v).astype(jnp.int32)       # (B, K)
+            # Finished beams: force PAD continuation at zero incremental
+            # score.
+            pad_onehot = jnp.where(
+                jnp.arange(v)[None, None, :] == pad_id, 0.0, _NEG
+            )
+            logp = jnp.where(finished[..., None], pad_onehot, logp)
 
-        gather = (item_offset + src_beam).reshape(-1)    # (B*K,) row indices
-        tokens = jnp.take(tokens, gather, axis=0)
-        tokens = tokens.at[:, pos + 1].set(new_tok.reshape(-1))
-        cache = reindex_cache(cache, gather)
-        finished = jnp.take_along_axis(finished, src_beam, axis=1)
-        finished = jnp.logical_or(finished, new_tok == end_id)
-        return pos + 1, tokens, new_scores, finished, cache
+            total = scores[..., None] + logp             # (B, K, V)
+            flat = total.reshape(b, k * v)
+            new_scores, flat_idx = jax.lax.top_k(flat, k)   # (B, K)
+            src_beam = flat_idx // v                     # (B, K) parent beam
+            new_tok = (flat_idx % v).astype(jnp.int32)   # (B, K)
 
-    _, tokens, scores, finished, _ = jax.lax.while_loop(
-        cond, body, (jnp.asarray(0, jnp.int32), tokens, scores, finished, cache)
-    )
+            gather = (item_offset + src_beam).reshape(-1)  # (B*K,) rows
+            tokens = jnp.take(tokens, gather, axis=0)
+            tokens = tokens.at[:, pos + 1].set(new_tok.reshape(-1))
+            cache = reindex_cache(cache, gather)
+            finished = jnp.take_along_axis(finished, src_beam, axis=1)
+            finished = jnp.logical_or(finished, new_tok == end_id)
+            return pos + 1, tokens, new_scores, finished, cache
+
+        return body
+
+    state = (jnp.asarray(0, jnp.int32), tokens, scores, finished, cache)
+    for i, bucket in enumerate(bucket_sizes):
+        if i > 0:
+            pos, tokens, scores, finished, cache = state
+            grow = lambda a: (
+                jnp.zeros(
+                    a.shape[:3] + (bucket,) + a.shape[4:], a.dtype
+                ).at[:, :, :, : a.shape[3]].set(a)
+            )
+            cache = cache._replace(k=grow(cache.k), v=grow(cache.v))
+            state = (pos, tokens, scores, finished, cache)
+        state = jax.lax.while_loop(make_cond(bucket), make_body(bucket), state)
+    _, tokens, scores, finished, _ = state
 
     # Final hypothesis = highest total log-probability, finished or not:
     # finished beams stopped accumulating (PAD extensions at score 0), so

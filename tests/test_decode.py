@@ -133,6 +133,17 @@ def test_beam_size_one_equals_greedy(params, memory):
     np.testing.assert_array_equal(np.asarray(g), np.asarray(b))
 
 
+def test_beam_bucket_ladder_matches_single_bucket(params, memory):
+    """Beam search through the KV-cache ladder must be token- and
+    score-identical to one max_len-sized cache."""
+    t_s, s_s = beam_generate(params, CFG, memory, START, END, PAD, MAXLEN,
+                             beam_size=3, bucket_sizes=(MAXLEN,))
+    t_l, s_l = beam_generate(params, CFG, memory, START, END, PAD, MAXLEN,
+                             beam_size=3, bucket_sizes=(4, 8, MAXLEN))
+    np.testing.assert_array_equal(np.asarray(t_s), np.asarray(t_l))
+    np.testing.assert_allclose(np.asarray(s_s), np.asarray(s_l), rtol=1e-6)
+
+
 def test_beam_score_at_least_greedy(params, memory):
     """Beam-3's sequence log-prob must be ≥ greedy's (same scoring)."""
     g, _ = greedy_generate(params, CFG, memory, START, END, PAD, MAXLEN)
