@@ -193,6 +193,60 @@ def _attn_kernel_btd(q_ref, k_ref, v_ref, pad_ref, o_ref, *,
         )
 
 
+def _attn_kernel_btd_fusedqkv(qkv_ref, o_ref, *, scale: float, heads: int,
+                              hd: int):
+    """One batch cell over a FUSED (T, 3D) qkv tensor — bidirectional, no
+    padding (the encoder case). q/k/v are static column slices [0:D),
+    [D:2D), [2D:3D); per head the same (T, hd) sub-slices as the split
+    kernel. Lets a fused QKV projection feed attention with zero splits,
+    copies, or layout changes.
+    """
+    t = qkv_ref.shape[0]
+    d = heads * hd
+    for h in range(heads):
+        qs = slice(h * hd, (h + 1) * hd)
+        ks = slice(d + h * hd, d + (h + 1) * hd)
+        vs = slice(2 * d + h * hd, 2 * d + (h + 1) * hd)
+        scores = jax.lax.dot_general(
+            qkv_ref[:, qs].astype(jnp.float32),
+            qkv_ref[:, ks].astype(jnp.float32),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        ) * scale                                        # (T, T)
+        m = jnp.max(scores, axis=1, keepdims=True)
+        p = jnp.exp(scores - m)
+        o = jax.lax.dot_general(
+            p.astype(qkv_ref.dtype), qkv_ref[:, vs],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        o_ref[:, qs] = (o / jnp.sum(p, axis=1, keepdims=True)).astype(
+            o_ref.dtype
+        )
+
+
+def flash_attention_btd_fusedqkv(qkv: jnp.ndarray, head_dim: int,
+                                 ) -> jnp.ndarray:
+    """qkv (B, T, 3D) → context (B, T, D). Bidirectional, unpadded
+    (encoder self-attention). Inference-only: no custom_vjp (the int8
+    encoder path is forward-only — the encoder is frozen)."""
+    b, t, d3 = qkv.shape
+    d = d3 // 3
+    heads = d // head_dim
+    kernel = functools.partial(
+        _attn_kernel_btd_fusedqkv, scale=1.0 / math.sqrt(head_dim),
+        heads=heads, hd=head_dim,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((None, t, d3), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((None, t, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t, d), qkv.dtype),
+        interpret=not on_tpu(),
+    )(qkv)
+
+
 def _flash_forward_btd(q, k, v, pad_add, causal, head_dim, has_pad=True):
     """q (B, T, D); k/v (B, S, D); pad_add (B, S) additive → (B, T, D)."""
     b, t, d = q.shape

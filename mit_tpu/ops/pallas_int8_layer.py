@@ -1,0 +1,171 @@
+"""Whole-transformer-layer fused int8 kernel for the frozen ViT encoder.
+
+The endgame of the int8 experiments (see git history): isolated int8 GEMM
+kernels each beat their XLA twin, but composing them LOST to plain bf16 —
+every pallas_call boundary forces the activation to materialize in HBM
+(LN outputs, GEMM epilogues) exactly where XLA would have fused, and the
+per-call launch overhead stacks 4-5x per layer.
+
+So fuse the ENTIRE pre-LN transformer layer into one kernel. int8 is what
+makes this possible: a ViT-B layer's int8 weights (QKV 1.7 MB + out 0.6 +
+fc1 2.4 + fc2 2.4 = 7.1 MB) are VMEM-resident alongside one batch item's
+activations, where bf16 weights (14.2 MB) would not fit. Per (T, D) batch
+item the kernel runs
+
+    LN1 → rowquant → int8 QKV GEMM → per-head softmax attention (bf16)
+    → rowquant → int8 out-proj GEMM → +residual
+    → LN2 → rowquant → int8 fc1 GEMM → GELU → rowquant → int8 fc2 GEMM
+    → +residual
+
+with ONE HBM read of x and ONE write of the output — no intermediate
+(LN outputs, QKV, attention context, MLP hidden, int32 accumulators)
+ever leaves the chip.
+
+Inference-only (the encoder is frozen — no backward exists). Encoder
+self-attention is bidirectional and unpadded, so no masks.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mit_tpu.ops.quant import QuantizedLinear
+from mit_tpu.ops.pallas_int8_mlp import _gelu_exact, _quantize_rows
+
+
+def _ln(x, scale, bias, eps):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _dq(acc, sx, s_ref, b_ref):
+    """int32 accumulator → f32 with row/channel scales + bias."""
+    return acc.astype(jnp.float32) * (sx * s_ref[0, :][None, :]) + (
+        b_ref[0, :][None, :]
+    )
+
+
+def _layer_kernel(
+    x_ref,
+    ln1_s, ln1_b, wqkv, sqkv, bqkv, wo, so, bo,
+    ln2_s, ln2_b, w1, s1, b1, w2, s2, b2,
+    o_ref, ctx_ref,
+    *, heads: int, hd: int, eps: float, act: str,
+):
+    d = heads * hd
+    x = x_ref[:].astype(jnp.float32)                       # (T, D) residual
+    h = _ln(x, ln1_s[0, :][None, :], ln1_b[0, :][None, :], eps)
+    h8, sh = _quantize_rows(h)
+    qkv = _dq(
+        jax.lax.dot_general(h8, wqkv[:], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32),
+        sh, sqkv, bqkv,
+    ).astype(jnp.bfloat16)                                 # (T, 3D)
+
+    scale = 1.0 / math.sqrt(hd)
+    for hh in range(heads):
+        qs = slice(hh * hd, (hh + 1) * hd)
+        ks = slice(d + hh * hd, d + (hh + 1) * hd)
+        vs = slice(2 * d + hh * hd, 2 * d + (hh + 1) * hd)
+        scores = jax.lax.dot_general(
+            qkv[:, qs].astype(jnp.float32), qkv[:, ks].astype(jnp.float32),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        ) * scale                                          # (T, T)
+        m = jnp.max(scores, axis=1, keepdims=True)
+        p = jnp.exp(scores - m)
+        o = jax.lax.dot_general(
+            p.astype(jnp.bfloat16), qkv[:, vs],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        ctx_ref[:, qs] = o / jnp.sum(p, axis=1, keepdims=True)
+
+    c8, sc = _quantize_rows(ctx_ref[:])
+    x = x + _dq(
+        jax.lax.dot_general(c8, wo[:], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32),
+        sc, so, bo,
+    )
+
+    h = _ln(x, ln2_s[0, :][None, :], ln2_b[0, :][None, :], eps)
+    h8, sh = _quantize_rows(h)
+    mid = _dq(
+        jax.lax.dot_general(h8, w1[:], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32),
+        sh, s1, b1,
+    )
+    if act == "gelu":
+        mid = _gelu_exact(mid)
+    elif act == "quick_gelu":
+        mid = mid * jax.nn.sigmoid(1.702 * mid)
+    m8, sm = _quantize_rows(mid)
+    x = x + _dq(
+        jax.lax.dot_general(m8, w2[:], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32),
+        sm, s2, b2,
+    )
+    o_ref[:] = x.astype(o_ref.dtype)
+
+
+def fused_int8_vit_layer(
+    x: jnp.ndarray,                    # (B, T, D)
+    ln1: dict,                         # {"scale": (D,), "bias": (D,)} f32
+    qkv: QuantizedLinear,              # (D, 3D)
+    out: QuantizedLinear,              # (D, D)
+    ln2: dict,
+    fc1: QuantizedLinear,              # (D, F)
+    fc2: QuantizedLinear,              # (F, D)
+    num_heads: int,
+    eps: float,
+    act: str = "gelu",
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """One pre-LN encoder layer, fully fused → (B, T, D) same dtype as x."""
+    if interpret is None:
+        from mit_tpu.ops.pallas_attention import on_tpu
+
+        interpret = not on_tpu()
+    b, t, d = x.shape
+    f = fc1.w8.shape[-1]
+    hd = d // num_heads
+    kernel = functools.partial(
+        _layer_kernel, heads=num_heads, hd=hd, eps=eps, act=act
+    )
+    row = lambda n: pl.BlockSpec((1, n), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+    wspec = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    vec = lambda p: p[None, :].astype(jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((None, t, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            row(d), row(d),                      # ln1
+            wspec((d, 3 * d)), row(3 * d), row(3 * d),   # qkv
+            wspec((d, d)), row(d), row(d),               # out proj
+            row(d), row(d),                      # ln2
+            wspec((d, f)), row(f), row(f),               # fc1
+            wspec((f, d)), row(d), row(d),               # fc2
+        ],
+        out_specs=pl.BlockSpec((None, t, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t, d), x.dtype),
+        scratch_shapes=[pltpu.VMEM((t, d), jnp.float32)],  # attention ctx
+        interpret=interpret,
+    )(
+        x,
+        vec(ln1["scale"]), vec(ln1["bias"]),
+        qkv.w8, vec(qkv.scale), vec(qkv.bias),
+        out.w8, vec(out.scale), vec(out.bias),
+        vec(ln2["scale"]), vec(ln2["bias"]),
+        fc1.w8, vec(fc1.scale), vec(fc1.bias),
+        fc2.w8, vec(fc2.scale), vec(fc2.bias),
+    )

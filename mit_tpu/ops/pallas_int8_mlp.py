@@ -1,0 +1,201 @@
+"""Fused int8 (W8A8) transformer-MLP Pallas kernel.
+
+Why a kernel: the naive XLA int8 path (ops/quant.py) LOSES to bf16 at
+encoder shapes — measured 21.2 vs 19.5 ms per MLP block at (B·T, D, F) =
+(201728, 768, 3072) — because every int8 GEMM materializes its int32
+accumulator ((M, F), 4 B/elem — twice bf16's bytes) to HBM and the
+dynamic-quantize passes re-read the activations. The 1.72x int8 MXU
+advantage drowns in elementwise traffic.
+
+This kernel keeps the ENTIRE MLP in VMEM per M-tile: the int8 weight
+matrices are small enough to be fully resident (D*F bytes — 2.4 MB each
+for ViT-B), so per (BM, D) row-tile it does
+
+    rowmax-quantize x → int8 GEMM (MXU) → int32 acc in VMEM
+    → scale + bias + GELU (f32, VPU) → rowmax-quantize
+    → int8 GEMM (MXU) → scale + bias → bf16 out
+
+and the only HBM traffic is x in (2 B/elem) and out (2 B/elem) — the
+int32 accumulators, the (M, F) hidden activations, and the quantized
+copies never leave the chip.
+
+Numerics match the composition gelu(int8_matmul(x, q1)) @ int8_matmul
+(ops/quant.py) to fp tolerance; weights use the same QuantizedLinear
+(per-output-channel scales) produced by quantize_weight.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mit_tpu.ops.quant import QuantizedLinear
+
+
+def _erf(z: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise erf — Mosaic has no erf/erfc lowering, so implement it.
+
+    Abramowitz & Stegun 7.1.26 (max abs error 1.5e-7): far below bf16
+    output resolution, so the kernel's exact-GELU matches jax.nn.gelu
+    (approximate=False) bit-for-bit after the bf16 cast in practice.
+    """
+    s = jnp.sign(z)
+    z = jnp.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * z)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741
+                                   + t * (-1.453152027 + t * 1.061405429)))
+    )
+    return s * (1.0 - poly * jnp.exp(-z * z))
+
+
+def _gelu_exact(x: jnp.ndarray) -> jnp.ndarray:
+    return 0.5 * x * (1.0 + _erf(x * 0.7071067811865475))
+
+
+def _quantize_rows(x: jnp.ndarray):
+    """(BM, K) f32 → (int8, (BM, 1) f32 scale); same math as
+    ops.quant.dynamic_quantize."""
+    amax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
+    sx = jnp.maximum(amax, 1e-8) / 127.0
+    x8 = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
+    return x8, sx
+
+
+def _mlp_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
+                o_ref, *, act: str):
+    x = x_ref[:].astype(jnp.float32)                       # (BM, D)
+    x8, sx = _quantize_rows(x)
+    acc1 = jax.lax.dot_general(
+        x8, w1_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )                                                      # (BM, F) int32
+    h = acc1.astype(jnp.float32) * (sx * s1_ref[0, :][None, :])
+    h = h + b1_ref[0, :][None, :]
+    if act == "gelu":
+        h = _gelu_exact(h)
+    elif act == "quick_gelu":
+        h = h * jax.nn.sigmoid(1.702 * h)
+    elif act != "none":
+        raise ValueError(f"unknown act {act!r}")
+    h8, sh = _quantize_rows(h)
+    acc2 = jax.lax.dot_general(
+        h8, w2_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )                                                      # (BM, D) int32
+    out = acc2.astype(jnp.float32) * (sh * s2_ref[0, :][None, :])
+    out = out + b2_ref[0, :][None, :]
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+def _linear_kernel(x_ref, w_ref, s_ref, b_ref, o_ref):
+    x = x_ref[:].astype(jnp.float32)                       # (BM, K)
+    x8, sx = _quantize_rows(x)
+    acc = jax.lax.dot_general(
+        x8, w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) * (sx * s_ref[0, :][None, :])
+    out = out + b_ref[0, :][None, :]
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+def int8_linear(
+    x: jnp.ndarray,                    # (..., K)
+    q: QuantizedLinear,                # (K, N) int8 + (N,) scale + (N,) bias
+    out_dtype=jnp.bfloat16,
+    block_m: int = 256,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Single int8 GEMM with fused quantize + dequant/bias epilogue.
+
+    Unlike the XLA path the int32 accumulator never reaches HBM: the
+    epilogue runs in VMEM and only ``out_dtype`` bytes are written. The
+    weight stays fully VMEM-resident across M-tiles (fine up to a few MB —
+    e.g. a fused (D, 3D) QKV projection at ViT-B is 1.7 MB).
+    """
+    if interpret is None:
+        from mit_tpu.ops.pallas_attention import on_tpu
+
+        interpret = not on_tpu()
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    n = q.w8.shape[-1]
+    m = 1
+    for s in lead:
+        m *= s
+    xf = x.reshape(m, k)
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        _linear_kernel,
+        grid=(pl.cdiv(m, block_m),),
+        in_specs=[
+            pl.BlockSpec((block_m, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            full((k, n)), full((1, n)), full((1, n)),
+        ],
+        out_specs=pl.BlockSpec((block_m, n), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        interpret=interpret,
+    )(xf, q.w8, q.scale[None, :], q.bias[None, :])
+    return out.reshape(*lead, n)
+
+
+def fused_int8_mlp(
+    x: jnp.ndarray,                    # (..., D) activations
+    q1: QuantizedLinear,               # (D, F) int8 + (F,) scale + (F,) bias
+    q2: QuantizedLinear,               # (F, D) int8 + (D,) scale + (D,) bias
+    act: str = "gelu",                 # "gelu" | "quick_gelu" | "none"
+    out_dtype=jnp.bfloat16,
+    block_m: int = 256,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """act2(act1-quantized) fused MLP: returns (..., D) in ``out_dtype``.
+
+    Weight tensors must be 2-D (one layer — slice layer stacks before
+    calling). Biases must be present on both QuantizedLinears.
+    """
+    if interpret is None:
+        from mit_tpu.ops.pallas_attention import on_tpu
+
+        interpret = not on_tpu()
+    lead = x.shape[:-1]
+    d = x.shape[-1]
+    f = q1.w8.shape[-1]
+    m = 1
+    for s in lead:
+        m *= s
+    xf = x.reshape(m, d)
+    grid_m = pl.cdiv(m, block_m)
+
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        functools.partial(_mlp_kernel, act=act),
+        grid=(grid_m,),
+        in_specs=[
+            pl.BlockSpec((block_m, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            full((d, f)),                                 # w1 (resident)
+            full((1, f)), full((1, f)),                   # s1, b1
+            full((f, d)),                                 # w2 (resident)
+            full((1, d)), full((1, d)),                   # s2, b2
+        ],
+        out_specs=pl.BlockSpec((block_m, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, d), out_dtype),
+        interpret=interpret,
+    )(
+        xf, q1.w8, q1.scale[None, :], q1.bias[None, :],
+        q2.w8, q2.scale[None, :], q2.bias[None, :],
+    )
+    return out.reshape(*lead, d)

@@ -105,6 +105,38 @@ def test_int8_cls_only_consistent(qparams, pixels):
     np.testing.assert_allclose(cls, full, atol=2e-6)
 
 
+def test_int8_mega_kernel_matches_composition(params, qparams, pixels):
+    """use_pallas=True routes through the whole-layer fused kernel
+    (interpret mode off-TPU); it must match the XLA int8 composition."""
+    ref = np.asarray(
+        vision_forward_int8(qparams, CFG, pixels, jnp.float32,
+                            use_pallas=False)
+    )
+    out = np.asarray(
+        vision_forward_int8(qparams, CFG, pixels, jnp.float32,
+                            use_pallas=True)
+    )
+    rel = np.linalg.norm(ref - out) / np.linalg.norm(ref)
+    assert rel < 5e-3, rel
+
+
+def test_int8_mega_kernel_cls_only(qparams, pixels):
+    """cls_only under the kernel path tracks full[:, :1]. Not exact: the
+    narrowed last layer runs the XLA path (f32 qkv) while full runs the
+    kernel (bf16 qkv) — tolerance covers that representation gap."""
+    full = np.asarray(
+        vision_forward_int8(qparams, CFG, pixels, jnp.float32,
+                            use_pallas=True)
+    )[:, :1]
+    cls = np.asarray(
+        vision_forward_int8(qparams, CFG, pixels, jnp.float32,
+                            use_pallas=True, cls_only=True)
+    )
+    cos = np.sum(full * cls) / (np.linalg.norm(full) * np.linalg.norm(cls))
+    assert cos > 0.999, cos
+    np.testing.assert_allclose(cls, full, atol=5e-2)
+
+
 def test_int8_clip_family(pixels):
     """ln_pre / quick_gelu / no-patch-bias variant runs and tracks float."""
     cfg = CFG._replace(family="clip", ln_pre=True, ln_post=False,
