@@ -441,13 +441,19 @@ def vision_forward_int8(
         # whole MLP in one VMEM-resident kernel: no int32/hidden HBM trips
         return x + fused_int8_mlp(h, layer["fc1"], layer["fc2"], mlp_act, cd)
 
-    if use_pallas:
+    from mit_tpu.ops.pallas_int8_layer import (
+        fused_int8_vit_layer,
+        layer_fits_vmem,
+    )
+
+    if use_pallas and layer_fits_vmem(
+        cfg.seq_len, d, cfg.intermediate_size
+    ):
         # Whole-layer mega-kernel (ops/pallas_int8_layer.py): LN1 → QKV →
         # attention → out-proj → LN2 → MLP in ONE VMEM pass — int8 weights
         # (7.1 MB/layer at ViT-B) stay resident, activations never touch
         # HBM inside a layer. Measured 24.1 vs ~31 ms/layer (bf16 XLA).
-        from mit_tpu.ops.pallas_int8_layer import fused_int8_vit_layer
-
+        # Larger geometries (ViT-L) exceed VMEM and use the per-op kernels.
         def body(x, layer):
             return fused_int8_vit_layer(
                 x, layer["ln1"], layer["attn"]["qkv"], layer["attn"]["o"],

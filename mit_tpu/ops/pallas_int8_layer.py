@@ -113,6 +113,16 @@ def _layer_kernel(
     o_ref[:] = x.astype(o_ref.dtype)
 
 
+def layer_fits_vmem(t: int, d: int, f: int) -> bool:
+    """Will one batch item's layer fit VMEM? weights (int8) + the peak
+    live activation set (MLP phase: x f32 + hidden f32 + hidden int8).
+    ViT-B (197, 768, 3072) → ~10.7 MB: fits. ViT-L (257, 1024, 4096) →
+    ~18.9 MB: falls back to the per-op kernel composition."""
+    weights = d * 3 * d + d * d + 2 * d * f
+    acts = t * (4 * d + 5 * f)
+    return weights + acts <= 13 * 1024 * 1024
+
+
 def fused_int8_vit_layer(
     x: jnp.ndarray,                    # (B, T, D)
     ln1: dict,                         # {"scale": (D,), "bias": (D,)} f32
