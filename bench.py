@@ -240,7 +240,17 @@ def main():
     )
     mfu = flops_per_iter * iters / dt_trained / V5E_BF16_PEAK
 
-    headline = ips_worst if worstcase_headline else ips_trained
+    # Headline: the int8-encoder pipeline IFF its captions are
+    # token-identical to bf16's on this batch (int8_caption_match == 1.0 —
+    # the serving configuration a production deployment would pick);
+    # otherwise the bf16 pipeline. Both are always reported.
+    int8_faithful = int8_caption_match >= 0.999
+    if worstcase_headline:
+        headline, headline_cfg = ips_worst, "bf16_worst_case"
+    elif int8_faithful:
+        headline, headline_cfg = ips_int8, "int8_encoder"
+    else:
+        headline, headline_cfg = ips_trained, "bf16"
     baseline_per_chip = 5000.0 / 8.0
     print(
         json.dumps(
@@ -249,13 +259,15 @@ def main():
                 "value": round(headline, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(headline / baseline_per_chip, 3),
+                "headline_config": headline_cfg,
+                "bf16_pipeline_ips": round(ips_trained, 2),
                 "worst_case_full_length_ips": round(ips_worst, 2),
                 "int8_encoder_ips": round(ips_int8, 2),
                 "int8_caption_match": round(int8_caption_match, 4),
                 "decode_len_p50": int(np.median(lengths)),
                 "decode_steps_executed": steps_executed,
                 "train_loss_after_prep": round(final_loss, 4),
-                "mfu_pipeline": round(mfu, 4),
+                "mfu_bf16_pipeline": round(mfu, 4),
             }
         )
     )
