@@ -20,9 +20,10 @@ from mit_tpu.models.vision import (config_for_encoder, init_vision_params,
 mode = sys.argv[1]          # bf16 | int8
 cls_only = sys.argv[2] == "cls" if len(sys.argv) > 2 else True
 B = int(sys.argv[3]) if len(sys.argv) > 3 else 1024
+ENC = sys.argv[4] if len(sys.argv) > 4 else "google/vit-base-patch16-224-in21k"
 ITERS = 8
 
-cfg = config_for_encoder("google/vit-base-patch16-224-in21k")
+cfg = config_for_encoder(ENC)
 params = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32),
                       init_vision_params(jax.random.PRNGKey(0), cfg))
 if mode == "int8":
@@ -32,7 +33,7 @@ fwd = vision_forward_int8 if mode == "int8" else vision_forward
 
 @jax.jit
 def run(p, key):
-    px = jax.random.normal(key, (B, 3, 224, 224), jnp.float32)
+    px = jax.random.normal(key, (B, 3, cfg.image_size, cfg.image_size), jnp.float32)
     def body(c, _):
         out = fwd(p, cfg, px + c, jnp.bfloat16, cls_only=cls_only)
         return jnp.mean(out).astype(jnp.float32), ()
