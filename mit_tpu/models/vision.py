@@ -443,19 +443,29 @@ def vision_forward_int8(
 
     from mit_tpu.ops.pallas_int8_layer import (
         fused_int8_vit_layer,
+        fused_int8_vit_layer_split,
         layer_fits_vmem,
+        split_fits_vmem,
     )
 
-    if use_pallas and layer_fits_vmem(
-        cfg.seq_len, d, cfg.intermediate_size
-    ):
+    geom = (cfg.seq_len, d, cfg.intermediate_size)
+    if use_pallas and layer_fits_vmem(*geom):
         # Whole-layer mega-kernel (ops/pallas_int8_layer.py): LN1 → QKV →
         # attention → out-proj → LN2 → MLP in ONE VMEM pass — int8 weights
         # (7.1 MB/layer at ViT-B) stay resident, activations never touch
         # HBM inside a layer. Measured 24.1 vs ~31 ms/layer (bf16 XLA).
-        # Larger geometries (ViT-L) exceed VMEM and use the per-op kernels.
         def body(x, layer):
             return fused_int8_vit_layer(
+                x, layer["ln1"], layer["attn"]["qkv"], layer["attn"]["o"],
+                layer["ln2"], layer["fc1"], layer["fc2"],
+                num_heads=cfg.num_heads, eps=eps, act=mlp_act,
+            ), None
+    elif use_pallas and split_fits_vmem(*geom):
+        # ViT-L-class geometry: two half-layer kernels (attention, MLP),
+        # each with its weights resident; only the residual stream x
+        # round-trips HBM between them.
+        def body(x, layer):
+            return fused_int8_vit_layer_split(
                 x, layer["ln1"], layer["attn"]["qkv"], layer["attn"]["o"],
                 layer["ln2"], layer["fc1"], layer["fc2"],
                 num_heads=cfg.num_heads, eps=eps, act=mlp_act,

@@ -52,23 +52,18 @@ def _dq(acc, sx, s_ref, b_ref):
     )
 
 
-def _layer_kernel(
-    x_ref,
-    ln1_s, ln1_b, wqkv, sqkv, bqkv, wo, so, bo,
-    ln2_s, ln2_b, w1, s1, b1, w2, s2, b2,
-    o_ref, ctx_ref,
-    *, heads: int, hd: int, eps: float, act: str,
-):
+
+def _attn_body(x, ln1_s, ln1_b, wqkv, sqkv, bqkv, wo, so, bo, ctx_ref,
+               heads, hd, eps):
+    """Attention sublayer on a (T, D) f32 residual stream → new stream."""
     d = heads * hd
-    x = x_ref[:].astype(jnp.float32)                       # (T, D) residual
     h = _ln(x, ln1_s[0, :][None, :], ln1_b[0, :][None, :], eps)
     h8, sh = _quantize_rows(h)
     qkv = _dq(
         jax.lax.dot_general(h8, wqkv[:], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32),
         sh, sqkv, bqkv,
-    ).astype(jnp.bfloat16)                                 # (T, 3D)
-
+    ).astype(jnp.bfloat16)
     scale = 1.0 / math.sqrt(hd)
     for hh in range(heads):
         qs = slice(hh * hd, (hh + 1) * hd)
@@ -77,7 +72,7 @@ def _layer_kernel(
         scores = jax.lax.dot_general(
             qkv[:, qs].astype(jnp.float32), qkv[:, ks].astype(jnp.float32),
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        ) * scale                                          # (T, T)
+        ) * scale
         m = jnp.max(scores, axis=1, keepdims=True)
         p = jnp.exp(scores - m)
         o = jax.lax.dot_general(
@@ -85,14 +80,16 @@ def _layer_kernel(
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
         ctx_ref[:, qs] = o / jnp.sum(p, axis=1, keepdims=True)
-
     c8, sc = _quantize_rows(ctx_ref[:])
-    x = x + _dq(
+    return x + _dq(
         jax.lax.dot_general(c8, wo[:], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32),
         sc, so, bo,
     )
 
+
+def _mlp_body(x, ln2_s, ln2_b, w1, s1, b1, w2, s2, b2, eps, act):
+    """MLP sublayer on a (T, D) f32 residual stream → new stream."""
     h = _ln(x, ln2_s[0, :][None, :], ln2_b[0, :][None, :], eps)
     h8, sh = _quantize_rows(h)
     mid = _dq(
@@ -105,11 +102,44 @@ def _layer_kernel(
     elif act == "quick_gelu":
         mid = mid * jax.nn.sigmoid(1.702 * mid)
     m8, sm = _quantize_rows(mid)
-    x = x + _dq(
+    return x + _dq(
         jax.lax.dot_general(m8, w2[:], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32),
         sm, s2, b2,
     )
+
+def _layer_kernel(
+    x_ref,
+    ln1_s, ln1_b, wqkv, sqkv, bqkv, wo, so, bo,
+    ln2_s, ln2_b, w1, s1, b1, w2, s2, b2,
+    o_ref, ctx_ref,
+    *, heads: int, hd: int, eps: float, act: str,
+):
+    x = _attn_body(x_ref[:].astype(jnp.float32), ln1_s, ln1_b, wqkv, sqkv,
+                   bqkv, wo, so, bo, ctx_ref, heads, hd, eps)
+    x = _mlp_body(x, ln2_s, ln2_b, w1, s1, b1, w2, s2, b2, eps, act)
+    o_ref[:] = x.astype(o_ref.dtype)
+
+
+def _attn_half_kernel(
+    x_ref, ln1_s, ln1_b, wqkv, sqkv, bqkv, wo, so, bo, o_ref, ctx_ref,
+    *, heads: int, hd: int, eps: float,
+):
+    """Attention half of the split (two-pass) layer — used when the whole
+    layer exceeds VMEM (ViT-L): only the residual stream x round-trips
+    HBM between the halves."""
+    x = _attn_body(x_ref[:].astype(jnp.float32), ln1_s, ln1_b, wqkv, sqkv,
+                   bqkv, wo, so, bo, ctx_ref, heads, hd, eps)
+    o_ref[:] = x.astype(o_ref.dtype)
+
+
+def _mlp_half_kernel(
+    x_ref, ln2_s, ln2_b, w1, s1, b1, w2, s2, b2, o_ref,
+    *, eps: float, act: str,
+):
+    """MLP half of the split layer: LN2 → fc1 → act → fc2 → +residual."""
+    x = _mlp_body(x_ref[:].astype(jnp.float32), ln2_s, ln2_b, w1, s1, b1,
+                  w2, s2, b2, eps, act)
     o_ref[:] = x.astype(o_ref.dtype)
 
 
@@ -117,7 +147,7 @@ def layer_fits_vmem(t: int, d: int, f: int) -> bool:
     """Will one batch item's layer fit VMEM? weights (int8) + the peak
     live activation set (MLP phase: x f32 + hidden f32 + hidden int8).
     ViT-B (197, 768, 3072) → ~10.7 MB: fits. ViT-L (257, 1024, 4096) →
-    ~18.9 MB: falls back to the per-op kernel composition."""
+    ~18.9 MB: falls back to the split two-pass kernels."""
     weights = d * 3 * d + d * d + 2 * d * f
     acts = t * (4 * d + 5 * f)
     return weights + acts <= 13 * 1024 * 1024
@@ -176,6 +206,87 @@ def fused_int8_vit_layer(
         qkv.w8, vec(qkv.scale), vec(qkv.bias),
         out.w8, vec(out.scale), vec(out.bias),
         vec(ln2["scale"]), vec(ln2["bias"]),
+        fc1.w8, vec(fc1.scale), vec(fc1.bias),
+        fc2.w8, vec(fc2.scale), vec(fc2.bias),
+    )
+
+
+def split_fits_vmem(t: int, d: int, f: int) -> bool:
+    """Two-pass fit: the MLP half is the bigger one (fc1+fc2 weights +
+    x f32 + hidden f32 + hidden int8). ViT-L (257, 1024, 4096):
+    8.4 MB weights + ~6.3 MB activations ≈ 14.7 MB — fits; the attention
+    half is smaller."""
+    # The estimate is conservative (the compiler reuses x/h/mid buffers);
+    # ViT-L's MLP half computes to 15.0 MB and compiles + runs on v5e.
+    mlp = 2 * d * f + t * (8 * d + 5 * f)
+    attn = 3 * d * d + d * d + t * (4 * d + 2 * 3 * d + 4 * d + 4 * t)
+    return max(mlp, attn) <= 15.5 * 1024 * 1024
+
+
+def fused_int8_vit_layer_split(
+    x: jnp.ndarray,                    # (B, T, D)
+    ln1: dict,
+    qkv: QuantizedLinear,
+    out: QuantizedLinear,
+    ln2: dict,
+    fc1: QuantizedLinear,
+    fc2: QuantizedLinear,
+    num_heads: int,
+    eps: float,
+    act: str = "gelu",
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Two-pass variant of :func:`fused_int8_vit_layer` for geometries
+    whose full layer exceeds VMEM (ViT-L): attention half and MLP half run
+    as separate kernels, each with its weights resident; only the (B, T, D)
+    residual stream round-trips HBM between them."""
+    if interpret is None:
+        from mit_tpu.ops.pallas_attention import on_tpu
+
+        interpret = not on_tpu()
+    b, t, d = x.shape
+    f = fc1.w8.shape[-1]
+    hd = d // num_heads
+    row = lambda n: pl.BlockSpec((1, n), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+    wspec = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    xspec = pl.BlockSpec((None, t, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    vec = lambda p: p[None, :].astype(jnp.float32)
+
+    x = pl.pallas_call(
+        functools.partial(_attn_half_kernel, heads=num_heads, hd=hd, eps=eps),
+        grid=(b,),
+        in_specs=[
+            xspec,
+            row(d), row(d),
+            wspec((d, 3 * d)), row(3 * d), row(3 * d),
+            wspec((d, d)), row(d), row(d),
+        ],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((b, t, d), x.dtype),
+        scratch_shapes=[pltpu.VMEM((t, d), jnp.float32)],
+        interpret=interpret,
+    )(
+        x, vec(ln1["scale"]), vec(ln1["bias"]),
+        qkv.w8, vec(qkv.scale), vec(qkv.bias),
+        out.w8, vec(out.scale), vec(out.bias),
+    )
+    return pl.pallas_call(
+        functools.partial(_mlp_half_kernel, eps=eps, act=act),
+        grid=(b,),
+        in_specs=[
+            xspec,
+            row(d), row(d),
+            wspec((d, f)), row(f), row(f),
+            wspec((f, d)), row(d), row(d),
+        ],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((b, t, d), x.dtype),
+        interpret=interpret,
+    )(
+        x, vec(ln2["scale"]), vec(ln2["bias"]),
         fc1.w8, vec(fc1.scale), vec(fc1.bias),
         fc2.w8, vec(fc2.scale), vec(fc2.bias),
     )

@@ -137,6 +137,37 @@ def test_int8_mega_kernel_cls_only(qparams, pixels):
     np.testing.assert_allclose(cls, full, atol=5e-2)
 
 
+def test_int8_split_layer_matches_mega(qparams):
+    """The two-pass (ViT-L) layer must equal the single mega-kernel up to
+    the residual-stream round trip between halves (exact at f32 x)."""
+    from mit_tpu.ops.pallas_int8_layer import (
+        fused_int8_vit_layer,
+        fused_int8_vit_layer_split,
+    )
+
+    lay = jax.tree.map(lambda a: a[0], qparams["layers"])
+    x = jax.random.normal(jax.random.PRNGKey(7), (3, 12, CFG.hidden_size),
+                          jnp.float32)
+    args = (lay["ln1"], lay["attn"]["qkv"], lay["attn"]["o"], lay["ln2"],
+            lay["fc1"], lay["fc2"])
+    mega = fused_int8_vit_layer(x, *args, num_heads=CFG.num_heads,
+                                eps=CFG.layer_norm_eps)
+    split = fused_int8_vit_layer_split(x, *args, num_heads=CFG.num_heads,
+                                       eps=CFG.layer_norm_eps)
+    np.testing.assert_allclose(np.asarray(mega), np.asarray(split),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_vmem_fit_dispatch():
+    """ViT-B fits the mega-kernel; ViT-L falls to the split; both beat the
+    composition fallback threshold."""
+    from mit_tpu.ops.pallas_int8_layer import layer_fits_vmem, split_fits_vmem
+
+    assert layer_fits_vmem(197, 768, 3072)          # ViT-B/16
+    assert not layer_fits_vmem(257, 1024, 4096)     # ViT-L/14
+    assert split_fits_vmem(257, 1024, 4096)
+
+
 def test_int8_clip_family(pixels):
     """ln_pre / quick_gelu / no-patch-bias variant runs and tracks float."""
     cfg = CFG._replace(family="clip", ln_pre=True, ln_post=False,
