@@ -153,35 +153,18 @@ def layer_fits_vmem(t: int, d: int, f: int) -> bool:
     return weights + acts <= 13 * 1024 * 1024
 
 
-def fused_int8_vit_layer(
-    x: jnp.ndarray,                    # (B, T, D)
-    ln1: dict,                         # {"scale": (D,), "bias": (D,)} f32
-    qkv: QuantizedLinear,              # (D, 3D)
-    out: QuantizedLinear,              # (D, D)
-    ln2: dict,
-    fc1: QuantizedLinear,              # (D, F)
-    fc2: QuantizedLinear,              # (F, D)
-    num_heads: int,
-    eps: float,
-    act: str = "gelu",
-    interpret: bool | None = None,
-) -> jnp.ndarray:
-    """One pre-LN encoder layer, fully fused → (B, T, D) same dtype as x."""
-    if interpret is None:
-        from mit_tpu.ops.pallas_attention import on_tpu
-
-        interpret = not on_tpu()
+def _mega_impl(x, ln1s, ln1b, wqkv, sqkv, bqkv, wo, so, bo,
+               ln2s, ln2b, w1, s1, b1, w2, s2, b2,
+               *, heads, hd, eps, act, interpret):
     b, t, d = x.shape
-    f = fc1.w8.shape[-1]
-    hd = d // num_heads
+    f = w1.shape[-1]
     kernel = functools.partial(
-        _layer_kernel, heads=num_heads, hd=hd, eps=eps, act=act
+        _layer_kernel, heads=heads, hd=hd, eps=eps, act=act
     )
     row = lambda n: pl.BlockSpec((1, n), lambda i: (0, 0),
                                  memory_space=pltpu.VMEM)
     wspec = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                        memory_space=pltpu.VMEM)
-    vec = lambda p: p[None, :].astype(jnp.float32)
     return pl.pallas_call(
         kernel,
         grid=(b,),
@@ -200,8 +183,65 @@ def fused_int8_vit_layer(
         out_shape=jax.ShapeDtypeStruct((b, t, d), x.dtype),
         scratch_shapes=[pltpu.VMEM((t, d), jnp.float32)],  # attention ctx
         interpret=interpret,
-    )(
-        x,
+    )(x, ln1s, ln1b, wqkv, sqkv, bqkv, wo, so, bo,
+      ln2s, ln2b, w1, s1, b1, w2, s2, b2)
+
+
+# ----------------------------------------------------------------------
+# GSPMD integration: batch is the only shardable dim — x shards over the
+# data mesh axis, weights/scales replicate, and each shard runs the kernel
+# on its local batch block (same pattern as ops/pallas_attention.py).
+# ----------------------------------------------------------------------
+@functools.lru_cache(maxsize=None)
+def _make_partitioned(statics):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    impl_name, kw = statics
+    impl = {"mega": _mega_impl, "split": _split_impl}[impl_name]
+    impl = functools.partial(impl, **dict(kw))
+
+    @custom_partitioning
+    def fwd(x, *arrs):
+        return impl(x, *arrs)
+
+    def _batch_axis(arg_shapes):
+        try:
+            spec = arg_shapes[0].sharding.spec
+        except AttributeError:
+            return None
+        return spec[0] if len(spec) > 0 else None
+
+    def infer_sharding(mesh, arg_shapes, result_shape):
+        return NamedSharding(mesh, P(_batch_axis(arg_shapes), None, None))
+
+    def partition(mesh, arg_shapes, result_shape):
+        bax = _batch_axis(arg_shapes)
+        xs = NamedSharding(mesh, P(bax, None, None))
+        rep = NamedSharding(mesh, P())
+
+        def lower(x, *arrs):
+            return impl(x, *arrs)
+
+        return mesh, lower, xs, (xs,) + (rep,) * (len(arg_shapes) - 1)
+
+    # Shardy rule: x's batch factor shards through to the output; every
+    # weight/scale/bias operand gets its own free factors (replicated in
+    # practice — partition() pins them to P()).
+    rule = ", ".join(
+        ["b t d"] + [f"p{i} q{i}" for i in range(16)]
+    ) + " -> b t d"
+    fwd.def_partition(
+        infer_sharding_from_operands=infer_sharding,
+        partition=partition,
+        sharding_rule=rule,
+    )
+    return fwd
+
+
+def _flat_args(ln1, qkv, out, ln2, fc1, fc2):
+    vec = lambda p: p[None, :].astype(jnp.float32)
+    return (
         vec(ln1["scale"]), vec(ln1["bias"]),
         qkv.w8, vec(qkv.scale), vec(qkv.bias),
         out.w8, vec(out.scale), vec(out.bias),
@@ -209,6 +249,35 @@ def fused_int8_vit_layer(
         fc1.w8, vec(fc1.scale), vec(fc1.bias),
         fc2.w8, vec(fc2.scale), vec(fc2.bias),
     )
+
+
+def fused_int8_vit_layer(
+    x: jnp.ndarray,                    # (B, T, D)
+    ln1: dict,                         # {"scale": (D,), "bias": (D,)} f32
+    qkv: QuantizedLinear,              # (D, 3D)
+    out: QuantizedLinear,              # (D, D)
+    ln2: dict,
+    fc1: QuantizedLinear,              # (D, F)
+    fc2: QuantizedLinear,              # (F, D)
+    num_heads: int,
+    eps: float,
+    act: str = "gelu",
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """One pre-LN encoder layer, fully fused → (B, T, D) same dtype as x.
+
+    GSPMD-safe: custom_partitioning shards the batch over the data mesh
+    axis (weights replicate), so sharded multi-chip serving keeps the
+    fused kernel per-shard."""
+    if interpret is None:
+        from mit_tpu.ops.pallas_attention import on_tpu
+
+        interpret = not on_tpu()
+    d = x.shape[-1]
+    kw = (("heads", num_heads), ("hd", d // num_heads), ("eps", eps),
+          ("act", act), ("interpret", interpret))
+    return _make_partitioned(("mega", kw))(x, *_flat_args(ln1, qkv, out,
+                                                          ln2, fc1, fc2))
 
 
 def split_fits_vmem(t: int, d: int, f: int) -> bool:
@@ -221,6 +290,46 @@ def split_fits_vmem(t: int, d: int, f: int) -> bool:
     mlp = 2 * d * f + t * (8 * d + 5 * f)
     attn = 3 * d * d + d * d + t * (4 * d + 2 * 3 * d + 4 * d + 4 * t)
     return max(mlp, attn) <= 15.5 * 1024 * 1024
+
+
+def _split_impl(x, ln1s, ln1b, wqkv, sqkv, bqkv, wo, so, bo,
+                ln2s, ln2b, w1, s1, b1, w2, s2, b2,
+                *, heads, hd, eps, act, interpret):
+    b, t, d = x.shape
+    f = w1.shape[-1]
+    row = lambda n: pl.BlockSpec((1, n), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+    wspec = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    xspec = pl.BlockSpec((None, t, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    x = pl.pallas_call(
+        functools.partial(_attn_half_kernel, heads=heads, hd=hd, eps=eps),
+        grid=(b,),
+        in_specs=[
+            xspec,
+            row(d), row(d),
+            wspec((d, 3 * d)), row(3 * d), row(3 * d),
+            wspec((d, d)), row(d), row(d),
+        ],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((b, t, d), x.dtype),
+        scratch_shapes=[pltpu.VMEM((t, d), jnp.float32)],
+        interpret=interpret,
+    )(x, ln1s, ln1b, wqkv, sqkv, bqkv, wo, so, bo)
+    return pl.pallas_call(
+        functools.partial(_mlp_half_kernel, eps=eps, act=act),
+        grid=(b,),
+        in_specs=[
+            xspec,
+            row(d), row(d),
+            wspec((d, f)), row(f), row(f),
+            wspec((f, d)), row(d), row(d),
+        ],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((b, t, d), x.dtype),
+        interpret=interpret,
+    )(x, ln2s, ln2b, w1, s1, b1, w2, s2, b2)
 
 
 def fused_int8_vit_layer_split(
@@ -239,54 +348,14 @@ def fused_int8_vit_layer_split(
     """Two-pass variant of :func:`fused_int8_vit_layer` for geometries
     whose full layer exceeds VMEM (ViT-L): attention half and MLP half run
     as separate kernels, each with its weights resident; only the (B, T, D)
-    residual stream round-trips HBM between them."""
+    residual stream round-trips HBM between them. GSPMD-safe like the
+    single-kernel form (batch shards, weights replicate)."""
     if interpret is None:
         from mit_tpu.ops.pallas_attention import on_tpu
 
         interpret = not on_tpu()
-    b, t, d = x.shape
-    f = fc1.w8.shape[-1]
-    hd = d // num_heads
-    row = lambda n: pl.BlockSpec((1, n), lambda i: (0, 0),
-                                 memory_space=pltpu.VMEM)
-    wspec = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
-                                       memory_space=pltpu.VMEM)
-    xspec = pl.BlockSpec((None, t, d), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM)
-    vec = lambda p: p[None, :].astype(jnp.float32)
-
-    x = pl.pallas_call(
-        functools.partial(_attn_half_kernel, heads=num_heads, hd=hd, eps=eps),
-        grid=(b,),
-        in_specs=[
-            xspec,
-            row(d), row(d),
-            wspec((d, 3 * d)), row(3 * d), row(3 * d),
-            wspec((d, d)), row(d), row(d),
-        ],
-        out_specs=xspec,
-        out_shape=jax.ShapeDtypeStruct((b, t, d), x.dtype),
-        scratch_shapes=[pltpu.VMEM((t, d), jnp.float32)],
-        interpret=interpret,
-    )(
-        x, vec(ln1["scale"]), vec(ln1["bias"]),
-        qkv.w8, vec(qkv.scale), vec(qkv.bias),
-        out.w8, vec(out.scale), vec(out.bias),
-    )
-    return pl.pallas_call(
-        functools.partial(_mlp_half_kernel, eps=eps, act=act),
-        grid=(b,),
-        in_specs=[
-            xspec,
-            row(d), row(d),
-            wspec((d, f)), row(f), row(f),
-            wspec((f, d)), row(d), row(d),
-        ],
-        out_specs=xspec,
-        out_shape=jax.ShapeDtypeStruct((b, t, d), x.dtype),
-        interpret=interpret,
-    )(
-        x, vec(ln2["scale"]), vec(ln2["bias"]),
-        fc1.w8, vec(fc1.scale), vec(fc1.bias),
-        fc2.w8, vec(fc2.scale), vec(fc2.bias),
-    )
+    d = x.shape[-1]
+    kw = (("heads", num_heads), ("hd", d // num_heads), ("eps", eps),
+          ("act", act), ("interpret", interpret))
+    return _make_partitioned(("split", kw))(x, *_flat_args(ln1, qkv, out,
+                                                           ln2, fc1, fc2))

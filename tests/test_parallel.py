@@ -209,6 +209,39 @@ def test_sharded_vision_forward_with_pallas_kernels():
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
 
 
+def test_sharded_int8_encoder_with_fused_layer_kernels():
+    """int8 encoder (whole-layer fused kernels) under pure-DP sharding ==
+    unsharded int8 forward: batch shards, int8 weights replicate."""
+    from mit_tpu.models.vision import (
+        init_vision_params,
+        quantize_vision_params,
+        vision_forward_int8,
+    )
+    from mit_tpu.ops.pallas_attention import set_pallas_enabled
+
+    params = init_vision_params(jax.random.PRNGKey(3), TINY_VISION)
+    qp = quantize_vision_params(params, TINY_VISION)
+    pixels = np.random.default_rng(5).normal(size=(8, 3, 32, 32)).astype(
+        np.float32
+    )
+    set_pallas_enabled(True)
+    try:
+        ref = np.asarray(
+            vision_forward_int8(qp, TINY_VISION, jnp.asarray(pixels),
+                                use_pallas=True)
+        )
+        mesh = create_mesh((8, 1))
+        px = jax.device_put(jnp.asarray(pixels), NamedSharding(mesh, P("data")))
+        qr = replicate(qp, mesh)
+        out = jax.jit(
+            lambda p, x: vision_forward_int8(p, TINY_VISION, x,
+                                             use_pallas=True)
+        )(qr, px)
+    finally:
+        set_pallas_enabled(None)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+
+
 def test_sharded_greedy_decode():
     """Batch-sharded KV-cached decode == single-device decode."""
     from mit_tpu.decode.greedy import greedy_generate
