@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""BASELINE config 4: ViT-L/14 encoder + 12-layer decoder, batch 256, bf16.
+
+Full pipeline (device preprocess → encoder → projection → KV-cached greedy
+decode, worst case: random weights run all 100 steps), bf16 and int8
+encoder variants. One JSON line.
+"""
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mit_tpu.config import Config
+    from mit_tpu.data.preprocess import device_preprocess
+    from mit_tpu.decode.greedy import greedy_generate
+    from mit_tpu.models.decoder import DecoderConfig
+    from mit_tpu.models.model import (
+        ModelConfig, encode_images, init_model_params, project_features,
+    )
+    from mit_tpu.models.vision import config_for_encoder, quantize_vision_params
+
+    name = "openai/clip-vit-large-patch14"
+    cfg = Config()
+    mcfg = ModelConfig(
+        name,
+        config_for_encoder(name),
+        DecoderConfig(
+            vocab_size=10000, embed_dim=512, num_heads=8, num_layers=12,
+            ff_dim=2048, max_seq_len=100, dropout=0.1, pad_idx=0,
+        ),
+        "cls",
+    )
+    batch = int(os.environ.get("MIT_BENCH_BATCH", 256))
+    iters = int(os.environ.get("MIT_BENCH_ITERS", 4))
+    params = init_model_params(jax.random.PRNGKey(0), mcfg)
+    cd = jnp.bfloat16
+
+    @jax.jit
+    def pipeline(p, images_u8):
+        pixels = device_preprocess(images_u8, name)
+        feats = encode_images(p, mcfg, pixels, cd)
+        memory = project_features(p, mcfg, feats, cd)
+        tokens, _ = greedy_generate(
+            p["decoder"], mcfg.decoder, memory, 2, 3, 0,
+            mcfg.decoder.max_seq_len, compute_dtype=cd,
+        )
+        return tokens
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.integers(0, 255, (batch, 224, 224, 3), dtype=np.uint8)
+    )
+
+    def timed(p):
+        int(jnp.sum(pipeline(p, images)))          # compile + true barrier
+        t0 = time.perf_counter()
+        acc = jnp.zeros((), jnp.int32)
+        for _ in range(iters):
+            acc = acc + jnp.sum(pipeline(p, images))
+        int(acc)                                    # d2h fetch = barrier
+        return batch * iters / (time.perf_counter() - t0)
+
+    bf16 = timed(params)
+    pq = dict(params)
+    pq["encoder"] = jax.jit(
+        lambda p: quantize_vision_params(p, mcfg.vision)
+    )(params["encoder"])
+    int8 = timed(pq)
+    print(json.dumps({
+        "metric": "config4_pipeline_images_per_sec_per_chip",
+        "bf16": round(bf16, 1),
+        "int8": round(int8, 1),
+        "batch": batch,
+        "note": "worst case: random weights, all 100 decode steps",
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,4 +1,5 @@
 #!/usr/bin/env python
+import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 """Continuous-batching service throughput (BASELINE config 5).
 
 Measures sustained captions/sec of CaptionService with a saturated queue:

@@ -1,4 +1,5 @@
 #!/usr/bin/env python
+import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 """Training-step throughput: images/sec with and without the frozen-feature
 cache (BASELINE.json configs 1 & 3)."""
 
@@ -29,8 +30,20 @@ def main():
     toks = rng.integers(4, 10000, (b, t + 1), dtype=np.int32)
     rngk = jax.random.PRNGKey(0)
 
+    from mit_tpu.models.vision import quantize_vision_params
+
+    frozen_q = {
+        "encoder": jax.jit(
+            lambda p: quantize_vision_params(p, mcfg.vision)
+        )(frozen["encoder"])
+    }
+
     out = {}
-    for name, from_features in (("cached_features", True), ("full_pipeline", False)):
+    for name, from_features, fr_sel in (
+        ("cached_features", True, None),
+        ("full_pipeline", False, "bf16"),
+        ("full_pipeline_int8_encoder", False, "int8"),
+    ):
         step = make_train_step(
             mcfg, optimizer, cfg.PAD_TOKEN_ID, jnp.bfloat16,
             from_features=from_features, donate=False,
@@ -48,7 +61,7 @@ def main():
             batch["images"] = jnp.asarray(
                 rng.normal(size=(b, 3, 224, 224)), jnp.float32
             )
-            fr = frozen
+            fr = frozen if fr_sel == "bf16" else frozen_q
         state = init_train_state(trainable, optimizer)
         state, loss = step(state, fr, batch, rngk)
         float(loss)  # compile + sync

@@ -1,4 +1,5 @@
 #!/usr/bin/env python
+import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 """End-to-end training LOOP throughput (host data path + device steps).
 
 bench_train.py measures the raw jitted step on resident data; this script
