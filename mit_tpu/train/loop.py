@@ -249,6 +249,15 @@ def train(
     )
     step_frozen = {} if use_cache else step_encoder
 
+    _frozen_host_cache = []
+
+    def frozen_host():
+        """Host copy of the frozen subtree, fetched once and reused by
+        every checkpoint save (the frozen encoder never changes)."""
+        if not _frozen_host_cache:
+            _frozen_host_cache.append(jax.device_get(frozen))
+        return _frozen_host_cache[0]
+
     # --- resume (reference train.py:343-375) ---
     start_epoch, best_val_loss = 0, float("inf")
     if cfg.RESUME_CHECKPOINT_PATH:
@@ -341,7 +350,10 @@ def train(
                 best_val_loss = val_loss
                 name = ckpt.checkpoint_filename(cfg, epoch, val_loss)
                 st_path = os.path.join(cfg.OUTPUT_DIR, name + ".safetensors")
-                full_params = {**state.params, **frozen}
+                # frozen encoder never changes: fetch its host copy ONCE
+                # (it is ~80% of the bytes; re-fetching 344 MB per epoch
+                # cost ~100 s/checkpoint over a tunneled device)
+                full_params = {**state.params, **frozen_host()}
                 ckpt.save_safetensors(st_path, full_params, mcfg)
                 ckpt.save_train_state(
                     os.path.join(cfg.OUTPUT_DIR, "latest"), state, epoch,
