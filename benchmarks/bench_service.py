@@ -63,7 +63,7 @@ def main():
                            from_features=True, donate=False)
     state = init_train_state(trainable, optimizer)
     rngk = jax.random.PRNGKey(0)
-    for i in range(200):
+    for i in range(400):  # converge: END exits define service behavior
         sel = rng.integers(0, 4096, 256)
         state, loss = step(state, {}, {
             "features": jnp.asarray(feats[sel], jnp.float32),

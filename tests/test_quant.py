@@ -169,7 +169,8 @@ def test_vmem_fit_dispatch():
 
 
 def test_int8_clip_family(pixels):
-    """ln_pre / quick_gelu / no-patch-bias variant runs and tracks float."""
+    """ln_pre / quick_gelu / no-patch-bias variant runs and tracks float,
+    on both the XLA composition and the fused-kernel (interpret) path."""
     cfg = CFG._replace(family="clip", ln_pre=True, ln_post=False,
                        patch_bias=False, hidden_act="quick_gelu",
                        layer_norm_eps=1e-5)
@@ -179,6 +180,11 @@ def test_int8_clip_family(pixels):
     out = np.asarray(vision_forward_int8(qp, cfg, pixels, jnp.float32))
     cos = np.sum(ref * out) / (np.linalg.norm(ref) * np.linalg.norm(out))
     assert cos > 0.999, cos
+    kern = np.asarray(
+        vision_forward_int8(qp, cfg, pixels, jnp.float32, use_pallas=True)
+    )
+    cos_k = np.sum(ref * kern) / (np.linalg.norm(ref) * np.linalg.norm(kern))
+    assert cos_k > 0.999, cos_k
 
 
 def test_encode_images_routes_quantized(params, qparams, pixels):
