@@ -48,53 +48,12 @@ def main():
     d_enc = mcfg.vision.hidden_size
     d_dec = mcfg.decoder.embed_dim
 
-    # quick-train the decoder on 8 feature classes -> 12-token captions
-    classes = rng.integers(0, 8, 4096)
-    feats = (rng.normal(size=(8, 1, d_enc)) * 2.0)[classes] + rng.normal(
-        size=(4096, 1, d_enc)) * 0.1
-    word_table = rng.integers(4, 10000, (8, 10), dtype=np.int32)
-    caps = np.zeros((4096, 13), np.int32)
-    caps[:, 0] = 2
-    caps[:, 1:11] = word_table[classes]
-    caps[:, 11] = 3
     trainable, frozen = split_trainable(params)
     optimizer, _ = make_optimizer(cfg.replace(LEARNING_RATE=3e-4))
     step = make_train_step(mcfg, optimizer, 0, jnp.bfloat16,
                            from_features=True, donate=False)
-    state = init_train_state(trainable, optimizer)
     rngk = jax.random.PRNGKey(0)
-    for i in range(400):  # converge: END exits define service behavior
-        sel = rng.integers(0, 4096, 256)
-        state, loss = step(state, {}, {
-            "features": jnp.asarray(feats[sel], jnp.float32),
-            "decoder_input_tokens": jnp.asarray(caps[sel, :-1]),
-            "target_tokens": jnp.asarray(caps[sel, 1:]),
-        }, rngk)
-    print(f"prep train loss {float(loss):.4f}")
-    trained = {**state.params, **frozen}
-
-    cap = Captioner(trained, mcfg, _Tok(), cfg, compute_dtype=jnp.bfloat16)
-    svc = CaptionService(cap, num_slots=slots, compute_dtype=jnp.bfloat16,
-                         steps_per_sync=int(os.environ.get("MIT_BENCH_WINDOW", 4)))
-
-    # project features through the trained projection -> decoder memory rows
-    mem = np.asarray(
-        jax.jit(lambda p, f: f.astype(jnp.float32) @ p["projection"]["w"]
-                + p["projection"]["b"])(trained, jnp.asarray(feats[:reqs]))
-    )
-
-    # warm up compile with a few requests
-    for i in range(min(8, reqs)):
-        svc.submit_memory(mem[i])
-    svc.run_to_completion()
-
-    t0 = time.perf_counter()
-    for i in range(reqs):
-        svc.submit_memory(mem[i])
-    results = svc.run_to_completion()
-    dt = time.perf_counter() - t0
-    lens = [len(v) for v in results.values()]
-    decoder_only = round(reqs / dt, 1)
+    word_table = rng.integers(4, 10000, (8, 10), dtype=np.int32)
 
     # ------------------------------------------------------------------
     # End-to-end: uint8 images -> device preprocess -> encoder (batched in
@@ -157,6 +116,28 @@ def main():
                           steps_per_sync=int(os.environ.get("MIT_BENCH_WINDOW", 8)))
     proj = {"w": np.asarray(trained2["projection"]["w"], np.float32),
             "b": np.asarray(trained2["projection"]["b"], np.float32)}
+
+    # ------------------------------------------------------------------
+    # Decoder-only service throughput: memories precomputed, saturated
+    # queue (the round-1..2 comparison metric).
+    # ------------------------------------------------------------------
+    svc = CaptionService(cap2, num_slots=slots, compute_dtype=jnp.bfloat16,
+                         steps_per_sync=int(os.environ.get("MIT_BENCH_WINDOW", 12)))
+    mem = np.concatenate([
+        np.asarray(encode_chunk(enc_params, proj,
+                                jnp.asarray(images_u8[i:i + chunk])))
+        for i in range(0, reqs, chunk)
+    ])
+    for i in range(min(8, reqs)):
+        svc.submit_memory(mem[i])
+    svc.run_to_completion()
+    t0 = time.perf_counter()
+    for i in range(reqs):
+        svc.submit_memory(mem[i])
+    results = svc.run_to_completion()
+    dt = time.perf_counter() - t0
+    lens = [len(v) for v in results.values()]
+    decoder_only = round(reqs / dt, 1)
 
     # warm up both programs
     warm = np.asarray(encode_chunk(enc_params, proj, jnp.asarray(images_u8[:chunk])))

@@ -1,4 +1,5 @@
 #!/usr/bin/env python
+import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 """Loss-curve parity runbook (BASELINE.md training anchor).
 
 The reference's only quantitative training record is the val-CE trajectory
