@@ -31,6 +31,10 @@ def main(argv=None) -> int:
                         help="int8 = W8A8-quantize the frozen encoder for "
                         "the training compute path (checkpoints keep float "
                         "weights).")
+    parser.add_argument("--train_state_interval", type=int, default=None,
+                        help="Save the orbax resume state every Nth epoch "
+                        "(weights still save on every best-val; final epoch "
+                        "always saves).")
     args = parser.parse_args(argv)
 
     from mit_tpu.config import CONFIG
@@ -57,6 +61,8 @@ def main(argv=None) -> int:
         cfg = cfg.replace(MESH_SHAPE=(d, m))
     if args.encoder_quant:
         cfg = cfg.replace(ENCODER_QUANT=args.encoder_quant)
+    if args.train_state_interval is not None:
+        cfg = cfg.replace(TRAIN_STATE_INTERVAL=args.train_state_interval)
 
     from mit_tpu.train.loop import train
 

@@ -355,10 +355,9 @@ def train(
                 # cost ~100 s/checkpoint over a tunneled device)
                 full_params = {**state.params, **frozen_host()}
                 ckpt.save_safetensors(st_path, full_params, mcfg)
-                ckpt.save_train_state(
-                    os.path.join(cfg.OUTPUT_DIR, "latest"), state, epoch,
-                    best_val_loss, cfg,
-                )
+                # resume state is NOT saved here: the end-of-epoch autosave
+                # below writes the same "latest" dir this epoch anyway —
+                # the double save cost a full extra optimizer-state fetch
                 print(f"Checkpoint saved: {st_path} (val loss {val_loss:.4f})")
                 summary["best_checkpoint"] = st_path
                 if wandb_run:  # model artifact (reference train.py:445-455)
@@ -386,17 +385,21 @@ def train(
                 print(f"Val loss {val_loss:.4f} did not improve on "
                       f"{best_val_loss:.4f}; not saving.")
 
-        # crash recovery: always checkpoint the latest completed epoch
-        # (best-val checkpointing alone can lose many epochs on a failure —
-        # the reference's only recovery is manual RESUME_CHECKPOINT_PATH,
-        # reference config.py:104)
-        try:
-            ckpt.save_train_state(
-                os.path.join(cfg.OUTPUT_DIR, "latest"), state, epoch,
-                best_val_loss, cfg,
-            )
-        except Exception as e:
-            print(f"Warning: periodic train-state save failed: {e}")
+        # crash recovery: checkpoint the latest completed epoch (best-val
+        # checkpointing alone can lose many epochs on a failure — the
+        # reference's only recovery is manual RESUME_CHECKPOINT_PATH,
+        # reference config.py:104). TRAIN_STATE_INTERVAL thins the saves
+        # (the optimizer state is ~4x the weight bytes); the final epoch
+        # always saves so training end is always resumable.
+        interval = max(1, cfg.TRAIN_STATE_INTERVAL)
+        if (epoch + 1) % interval == 0 or epoch + 1 == cfg.NUM_EPOCHS:
+            try:
+                ckpt.save_train_state(
+                    os.path.join(cfg.OUTPUT_DIR, "latest"), state, epoch,
+                    best_val_loss, cfg,
+                )
+            except Exception as e:
+                print(f"Warning: periodic train-state save failed: {e}")
 
         summary["epochs"].append(epoch_summary)
 

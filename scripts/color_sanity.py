@@ -57,8 +57,12 @@ def main():
     run = lambda *args: subprocess.run(
         [sys.executable, *args], cwd=root, check=True
     )
+    # resume state skipped (--train_state_interval 100): a 2-minute sanity
+    # run never resumes, and the optimizer-state fetch dominates wall time
+    # on a tunneled device
     run("train.py", "--data_dir", data, "--epochs", "12", "--batch_size",
-        "32", "--learning_rate", "3e-4", "--no_prepare", "--no_wandb")
+        "32", "--learning_rate", "3e-4", "--no_prepare", "--no_wandb",
+        "--train_state_interval", "100")
     import glob
 
     ckpt = max(glob.glob(os.path.join(data, "*.safetensors")),
