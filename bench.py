@@ -206,8 +206,11 @@ def main():
         int(jnp.sum(tokens))
         t0 = time.perf_counter()
         acc = jnp.zeros((), jnp.int32)
-        for _ in range(iters):
-            tokens, lengths = caption_kernel(p, images)
+        for i in range(iters):
+            # roll the batch per iteration: identical workload, distinct
+            # args — guards against any platform-level reuse of identical
+            # (executable, args) executions
+            tokens, lengths = caption_kernel(p, jnp.roll(images, i, axis=0))
             acc = acc + jnp.sum(tokens)
         int(acc)  # host fetch: completes only after every iteration ran
         dt = time.perf_counter() - t0
@@ -244,7 +247,7 @@ def main():
     # token-identical to bf16's on this batch (int8_caption_match == 1.0 —
     # the serving configuration a production deployment would pick);
     # otherwise the bf16 pipeline. Both are always reported.
-    int8_faithful = int8_caption_match >= 0.999
+    int8_faithful = int8_caption_match == 1.0
     if worstcase_headline:
         headline, headline_cfg = ips_worst, "bf16_worst_case"
     elif int8_faithful:

@@ -62,8 +62,10 @@ def main():
         int(jnp.sum(pipeline(p, images)))          # compile + true barrier
         t0 = time.perf_counter()
         acc = jnp.zeros((), jnp.int32)
-        for _ in range(iters):
-            acc = acc + jnp.sum(pipeline(p, images))
+        for i in range(iters):
+            # distinct args per iteration (identical workload): guards
+            # against platform-level reuse of identical executions
+            acc = acc + jnp.sum(pipeline(p, jnp.roll(images, i, axis=0)))
         int(acc)                                    # d2h fetch = barrier
         return batch * iters / (time.perf_counter() - t0)
 

@@ -131,10 +131,12 @@ class Config:
     # gradient impact (the encoder is frozen). Checkpoints always keep the
     # float encoder weights. "none" = bf16/fp32 encoder.
     ENCODER_QUANT: str = "none"
-    # Save the orbax resume state every Nth best-val improvement (the
-    # safetensors weights still save on EVERY improvement). The resume
-    # state is ~4x the weight bytes (optimizer moments); short sanity runs
-    # that never resume can raise this to skip the transfer entirely.
+    # Save the orbax resume state every Nth EPOCH (the safetensors
+    # weights still save on every best-val improvement, and the final
+    # epoch always saves). The resume state is ~4x the weight bytes
+    # (optimizer moments); with N > 1 a crash can lose up to N-1 epochs
+    # of optimizer state — weights are never lost. Short sanity runs that
+    # never resume can raise this to skip the transfer entirely.
     TRAIN_STATE_INTERVAL: int = 1
 
     # --- Derived paths (reference config.py:17-24, 121-124) ---

@@ -67,6 +67,12 @@ def beam_generate(
     b, s, d = memory.shape
     k = beam_size
     v = cfg.vocab_size
+    if max_len > cfg.max_seq_len:
+        raise ValueError(
+            f"max_len={max_len} exceeds the positional table "
+            f"(max_seq_len={cfg.max_seq_len}); positions past it would "
+            "silently clamp."
+        )
 
     from mit_tpu.decode.greedy import check_bucket_sizes
 

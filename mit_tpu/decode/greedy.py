@@ -38,10 +38,19 @@ def _bucket_schedule(max_len: int, first: int = 16) -> Tuple[int, ...]:
 def check_bucket_sizes(bucket_sizes, max_len: int) -> Tuple[int, ...]:
     if bucket_sizes is None:
         bucket_sizes = _bucket_schedule(max_len)
-    assert tuple(sorted(set(bucket_sizes))) == tuple(bucket_sizes) and (
-        bucket_sizes[-1] == max_len
-    ), f"bucket_sizes must be increasing and end at max_len: {bucket_sizes}"
-    return tuple(bucket_sizes)
+    bucket_sizes = tuple(bucket_sizes)
+    if (
+        not bucket_sizes
+        or tuple(sorted(set(bucket_sizes))) != bucket_sizes
+        or bucket_sizes[-1] != max_len
+    ):
+        # explicit raise (not assert): a wrong ladder silently corrupts the
+        # cache via clamped out-of-bounds writes, and asserts vanish under -O
+        raise ValueError(
+            "bucket_sizes must be strictly increasing and end at "
+            f"max_len={max_len}: {bucket_sizes}"
+        )
+    return bucket_sizes
 
 
 def laddered_decode_loop(
@@ -60,9 +69,11 @@ def laddered_decode_loop(
     """Shared KV-cache-ladder token loop → (tokens, finished, extra).
 
     Runs one ``while_loop`` per cache bucket; between buckets the cache is
-    copied into the next static size only when generation is still running,
-    so sequences that END early never touch (or pay HBM reads for) the big
-    buckets. ``cache`` must be allocated at ``bucket_sizes[0]``.
+    copied into the next static size (an unconditional once-per-bucket
+    copy — shapes are static), and the per-bucket loop condition stops
+    executing STEPS once every sequence has ENDed, so early-END batches
+    never pay the big buckets' per-step attention reads.
+    ``cache`` must be allocated at ``bucket_sizes[0]``.
     Token-identical to a single max_len-sized cache: masked cache positions
     are exact softmax zeros either way.
     """
@@ -139,9 +150,11 @@ def greedy_generate(
     step read B·L·2·max_len·D cache bytes from HBM — ~1.26 GB/step at the
     flagship B=1024 config. Instead the cache grows through a static ladder
     of sizes (default 16, 32, 64, ..., max_len): one ``while_loop`` per
-    bucket, copying the cache into the next size only when generation is
-    still running. Short captions (the trained-model case — END at ~12
-    tokens) never touch the big buckets, cutting cache traffic ~8x.
+    bucket. Short captions (the trained-model case — END at ~12 tokens)
+    never run STEPS in the big buckets, cutting the dominant per-step
+    attention reads ~8x; the between-bucket cache copies themselves are
+    unconditional (static shapes) but happen once per bucket, not per
+    step.
     Token-identical to the single-bucket loop: masked positions are exact
     zeros after softmax either way.
     """

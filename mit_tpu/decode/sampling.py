@@ -81,6 +81,12 @@ def sample_generate(
     from mit_tpu.decode.greedy import check_bucket_sizes, laddered_decode_loop
 
     b = memory.shape[0]
+    if max_len > cfg.max_seq_len:
+        raise ValueError(
+            f"max_len={max_len} exceeds the positional table "
+            f"(max_seq_len={cfg.max_seq_len}); positions past it would "
+            "silently clamp."
+        )
     bucket_sizes = check_bucket_sizes(bucket_sizes, max_len)
     cache = init_cache(params, cfg, memory, memory_padding_mask,
                        bucket_sizes[0], compute_dtype)

@@ -261,19 +261,18 @@ class CaptionService:
         self.steps_run = 0
 
     # ------------------------------------------------------------------
-    def submit(self, image) -> int:
-        """Queue one PIL image; returns a request id."""
-        memory = np.asarray(self.cap.memory_from_images([image]))  # (1, 1, D)
+    def _enqueue(self, memory) -> int:
         rid = self._next_id
         self._next_id += 1
-        self._queue.append((rid, memory))
+        self._queue.append((rid, np.asarray(memory).reshape(1, 1, -1)))
         return rid
 
+    def submit(self, image) -> int:
+        """Queue one PIL image; returns a request id."""
+        return self._enqueue(self.cap.memory_from_images([image]))
+
     def submit_memory(self, memory_row: np.ndarray) -> int:
-        rid = self._next_id
-        self._next_id += 1
-        self._queue.append((rid, memory_row.reshape(1, 1, -1)))
-        return rid
+        return self._enqueue(memory_row)
 
     def submit_batch(self, images: Sequence,
                      encode_batch_size: int = 256) -> List[int]:
@@ -282,9 +281,10 @@ class CaptionService:
         ``submit`` pays a full batch-1 encoder dispatch per image (~30 ms +
         round trip each) — at service rates the encoder becomes the
         bottleneck long before the decode slots do. Here images encode in
-        fixed-size chunks (the last chunk pads by repetition so the jitted
-        encoder compiles exactly one batch shape); per-row memories then
-        enter the admission queue as usual.
+        fixed-size chunks; the final partial chunk pads by repetition to
+        the next power of two, so the jitted encoder compiles a small
+        bounded set of batch shapes (full chunks share one). Per-row
+        memories then enter the admission queue as usual.
         """
         ids: List[int] = []
         n = len(images)
@@ -300,11 +300,7 @@ class CaptionService:
             while len(chunk) < target:
                 chunk.append(chunk[-1])
             memory = np.asarray(self.cap.memory_from_images(chunk))
-            for row in memory[:real]:
-                rid = self._next_id
-                self._next_id += 1
-                self._queue.append((rid, row.reshape(1, 1, -1)))
-                ids.append(rid)
+            ids.extend(self._enqueue(row) for row in memory[:real])
         return ids
 
     def _admit(self) -> None:

@@ -344,18 +344,13 @@ def quantize_vision_params(params: dict, cfg: VisionConfig) -> dict:
     return qp
 
 
-def _attention_btd(q, k, v, head_dim, use_pallas):
-    """Bidirectional attention on (B, T, D) activations, flash or XLA."""
-    from mit_tpu.ops.pallas_attention import (
-        _btd_fits_vmem,
-        _xla_attention_btd,
-        flash_attention_btd,
-    )
+def _attention_btd(q, k, v, head_dim):
+    """Bidirectional unpadded attention on (B, T, D) activations (XLA) —
+    the int8 path's non-kernel fallback (the kernel paths carry their own
+    fused attention)."""
+    from mit_tpu.ops.pallas_attention import _xla_attention_btd
 
     pad0 = jnp.zeros((q.shape[0], k.shape[1]), jnp.float32)
-    if use_pallas and _btd_fits_vmem(q, k, head_dim):
-        return flash_attention_btd(q, k, v, pad0, False, head_dim,
-                                   has_pad=False)
     return _xla_attention_btd(q, k, v, pad0, False, head_dim)
 
 
@@ -419,7 +414,7 @@ def vision_forward_int8(
                 ctx = flash_attention_btd_fusedqkv(qkv, hd)
             else:
                 q, k, v = jnp.split(qkv, 3, axis=-1)
-                ctx = _attention_btd(q, k, v, hd, False)
+                ctx = _attention_btd(q, k, v, hd)
             return x + int8_linear(ctx, a["o"], cd)
         bsz, s, _ = qkv.shape
         q1 = qkv[:, :q_rows, :d].reshape(bsz, cfg.num_heads, hd)

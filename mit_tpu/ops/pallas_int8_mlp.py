@@ -93,6 +93,104 @@ def _mlp_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
     o_ref[:] = out.astype(o_ref.dtype)
 
 
+def _linear_impl(xf, w8, s, b, *, block_m, out_dtype, interpret):
+    m, k = xf.shape
+    n = w8.shape[-1]
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        _linear_kernel,
+        grid=(pl.cdiv(m, block_m),),
+        in_specs=[
+            pl.BlockSpec((block_m, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            full((k, n)), full((1, n)), full((1, n)),
+        ],
+        out_specs=pl.BlockSpec((block_m, n), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        interpret=interpret,
+    )(xf, w8, s, b)
+
+
+def _mlp_impl(xf, w1, s1, b1, w2, s2, b2, *, act, block_m, out_dtype,
+              interpret):
+    m, d = xf.shape
+    f = w1.shape[-1]
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(_mlp_kernel, act=act),
+        grid=(pl.cdiv(m, block_m),),
+        in_specs=[
+            pl.BlockSpec((block_m, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            full((d, f)),                                 # w1 (resident)
+            full((1, f)), full((1, f)),                   # s1, b1
+            full((f, d)),                                 # w2 (resident)
+            full((1, d)), full((1, d)),                   # s2, b2
+        ],
+        out_specs=pl.BlockSpec((block_m, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, d), out_dtype),
+        interpret=interpret,
+    )(xf, w1, s1, b1, w2, s2, b2)
+
+
+# ----------------------------------------------------------------------
+# GSPMD integration: the flattened row dim shards over the data mesh axis
+# (rows are independent — per-row quantization), weights/scales replicate.
+# Without this, sharded serving would all-gather operands around the
+# opaque pallas_call (the patch embed and the cls-only last layer run
+# through these even when the whole-layer kernel handles the stack).
+# ----------------------------------------------------------------------
+@functools.lru_cache(maxsize=None)
+def _make_partitioned_op(kind, kw):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    impl = {"linear": _linear_impl, "mlp": _mlp_impl}[kind]
+    impl = functools.partial(impl, **dict(kw))
+    n_weights = {"linear": 3, "mlp": 6}[kind]
+
+    @custom_partitioning
+    def fwd(xf, *arrs):
+        return impl(xf, *arrs)
+
+    def _row_axis(arg_shapes):
+        try:
+            spec = arg_shapes[0].sharding.spec
+        except AttributeError:
+            return None
+        return spec[0] if len(spec) > 0 else None
+
+    def infer_sharding(mesh, arg_shapes, result_shape):
+        return NamedSharding(mesh, P(_row_axis(arg_shapes), None))
+
+    def partition(mesh, arg_shapes, result_shape):
+        ax = _row_axis(arg_shapes)
+        xs = NamedSharding(mesh, P(ax, None))
+        rep = NamedSharding(mesh, P())
+
+        def lower(xf, *arrs):
+            return impl(xf, *arrs)
+
+        return mesh, lower, xs, (xs,) + (rep,) * n_weights
+
+    rule = {
+        "linear": "m k, k n, u n, v n -> m n",
+        "mlp": "m d, d f, u f, v f, f d, w d, y d -> m d",
+    }[kind]
+    fwd.def_partition(
+        infer_sharding_from_operands=infer_sharding,
+        partition=partition,
+        sharding_rule=rule,
+    )
+    return fwd
+
+
 def _linear_kernel(x_ref, w_ref, s_ref, b_ref, o_ref):
     x = x_ref[:].astype(jnp.float32)                       # (BM, K)
     x8, sx = _quantize_rows(x)
@@ -129,23 +227,11 @@ def int8_linear(
     m = 1
     for s in lead:
         m *= s
-    xf = x.reshape(m, k)
-    full = lambda shape: pl.BlockSpec(
-        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    kw = (("block_m", block_m), ("out_dtype", out_dtype),
+          ("interpret", interpret))
+    out = _make_partitioned_op("linear", kw)(
+        x.reshape(m, k), q.w8, q.scale[None, :], q.bias[None, :]
     )
-    out = pl.pallas_call(
-        _linear_kernel,
-        grid=(pl.cdiv(m, block_m),),
-        in_specs=[
-            pl.BlockSpec((block_m, k), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            full((k, n)), full((1, n)), full((1, n)),
-        ],
-        out_specs=pl.BlockSpec((block_m, n), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
-        interpret=interpret,
-    )(xf, q.w8, q.scale[None, :], q.bias[None, :])
     return out.reshape(*lead, n)
 
 
@@ -169,33 +255,13 @@ def fused_int8_mlp(
         interpret = not on_tpu()
     lead = x.shape[:-1]
     d = x.shape[-1]
-    f = q1.w8.shape[-1]
     m = 1
     for s in lead:
         m *= s
-    xf = x.reshape(m, d)
-    grid_m = pl.cdiv(m, block_m)
-
-    full = lambda shape: pl.BlockSpec(
-        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
-    )
-    out = pl.pallas_call(
-        functools.partial(_mlp_kernel, act=act),
-        grid=(grid_m,),
-        in_specs=[
-            pl.BlockSpec((block_m, d), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            full((d, f)),                                 # w1 (resident)
-            full((1, f)), full((1, f)),                   # s1, b1
-            full((f, d)),                                 # w2 (resident)
-            full((1, d)), full((1, d)),                   # s2, b2
-        ],
-        out_specs=pl.BlockSpec((block_m, d), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, d), out_dtype),
-        interpret=interpret,
-    )(
-        xf, q1.w8, q1.scale[None, :], q1.bias[None, :],
+    kw = (("act", act), ("block_m", block_m), ("out_dtype", out_dtype),
+          ("interpret", interpret))
+    out = _make_partitioned_op("mlp", kw)(
+        x.reshape(m, d), q1.w8, q1.scale[None, :], q1.bias[None, :],
         q2.w8, q2.scale[None, :], q2.bias[None, :],
     )
     return out.reshape(*lead, d)

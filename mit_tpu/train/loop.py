@@ -355,9 +355,12 @@ def train(
                 # cost ~100 s/checkpoint over a tunneled device)
                 full_params = {**state.params, **frozen_host()}
                 ckpt.save_safetensors(st_path, full_params, mcfg)
-                # resume state is NOT saved here: the end-of-epoch autosave
-                # below writes the same "latest" dir this epoch anyway —
-                # the double save cost a full extra optimizer-state fetch
+                # resume state is NOT saved here: with the default
+                # TRAIN_STATE_INTERVAL=1 the end-of-epoch autosave writes
+                # the same "latest" dir this epoch (the old double save
+                # cost a full extra optimizer-state fetch); with a larger
+                # interval, resume granularity is the interval — weights
+                # are still exported on every improvement
                 print(f"Checkpoint saved: {st_path} (val loss {val_loss:.4f})")
                 summary["best_checkpoint"] = st_path
                 if wandb_run:  # model artifact (reference train.py:445-455)

@@ -226,20 +226,28 @@ def test_sharded_int8_encoder_with_fused_layer_kernels():
     )
     set_pallas_enabled(True)
     try:
-        ref = np.asarray(
-            vision_forward_int8(qp, TINY_VISION, jnp.asarray(pixels),
-                                use_pallas=True)
-        )
         mesh = create_mesh((8, 1))
         px = jax.device_put(jnp.asarray(pixels), NamedSharding(mesh, P("data")))
         qr = replicate(qp, mesh)
-        out = jax.jit(
-            lambda p, x: vision_forward_int8(p, TINY_VISION, x,
-                                             use_pallas=True)
-        )(qr, px)
+        for cls_only in (False, True):   # True = the serving (cls) config:
+            # exercises the int8_linear patch embed + narrowed last layer.
+            # f32 compute: bf16 einsum accumulation order differs between
+            # per-shard and full-batch shapes at the last bit.
+            ref = np.asarray(
+                vision_forward_int8(qp, TINY_VISION, jnp.asarray(pixels),
+                                    jnp.float32, use_pallas=True,
+                                    cls_only=cls_only)
+            )
+            out = jax.jit(
+                lambda p, x: vision_forward_int8(p, TINY_VISION, x,
+                                                 jnp.float32,
+                                                 use_pallas=True,
+                                                 cls_only=cls_only)
+            )(qr, px)
+            np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5,
+                                       atol=2e-5)
     finally:
         set_pallas_enabled(None)
-    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
 
 
 def test_sharded_greedy_decode():
