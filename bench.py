@@ -21,10 +21,23 @@ executed decode steps, divided by wall time x 197 TFLOP/s (v5e bf16 peak).
 Baseline (BASELINE.md): ≥5,000 images/sec on a v5e-8 slice → 625
 images/sec/chip. vs_baseline = measured / 625.
 
+Measurement discipline (round-3 fix — the round-2 artifact recorded a
+worst-case number *above* the trained pipeline, which is physically
+impossible for the same workload; a single contiguous pass per config on a
+±10% tunnel was not enough): every config is timed in INTERLEAVED
+repetitions ({bf16, worst, int8} × reps) and the reported value is the
+per-config MEDIAN. The trained-bf16 ≥ worst-case invariant is checked and
+any violation is recorded in the JSON ("invariant_violation") instead of
+silently shipping.
+
 Prints exactly one JSON line.
-Env: MIT_BENCH_TINY=1       tiny shapes for CPU smoke runs
-     MIT_BENCH_WORSTCASE=1  headline = worst-case (round-1 behavior)
-     MIT_BENCH_BATCH / MIT_BENCH_ITERS / MIT_BENCH_TRAIN_STEPS overrides.
+Env: MIT_BENCH_TINY=1        tiny shapes for CPU smoke runs
+     MIT_BENCH_HEADLINE      one of auto|bf16|int8|worst (default auto =
+                             int8 iff its captions are token-identical to
+                             bf16, else bf16 — the production-serving pick)
+     MIT_BENCH_WORSTCASE=1   headline = worst-case (round-1 behavior)
+     MIT_BENCH_BATCH / MIT_BENCH_ITERS / MIT_BENCH_TRAIN_STEPS /
+     MIT_BENCH_REPS overrides.
 """
 
 import json
@@ -197,28 +210,6 @@ def main():
     trained = {**state.params, **frozen}
 
     # ------------------------------------------------------------------
-    def timed(p):
-        # warmup/compile — force a host readback: on the remote-tunnel
-        # platform block_until_ready() can return before execution
-        # finishes, so a dependent device→host fetch is the only
-        # trustworthy barrier.
-        tokens, lengths = caption_kernel(p, images)
-        int(jnp.sum(tokens))
-        t0 = time.perf_counter()
-        acc = jnp.zeros((), jnp.int32)
-        for i in range(iters):
-            # roll the batch per iteration: identical workload, distinct
-            # args — guards against any platform-level reuse of identical
-            # (executable, args) executions
-            tokens, lengths = caption_kernel(p, jnp.roll(images, i, axis=0))
-            acc = acc + jnp.sum(tokens)
-        int(acc)  # host fetch: completes only after every iteration ran
-        dt = time.perf_counter() - t0
-        return batch * iters / dt, np.asarray(lengths), dt
-
-    ips_trained, lengths, dt_trained = timed(trained)
-    ips_worst, _, _ = timed(params)        # random weights: all 100 steps
-
     # int8 (W8A8) frozen-encoder serving path: same pipeline, encoder GEMMs
     # on the MXU's int8 mode. Caption agreement vs the bf16 pipeline is the
     # quality check (tokens, not features).
@@ -228,52 +219,122 @@ def main():
     trained_q["encoder"] = jax.jit(
         lambda p: quantize_vision_params(p, mcfg.vision)
     )(trained["encoder"])
+
+    def timed_pass(p):
+        """One timed pass of `iters` pipeline iterations → (ips, lengths, dt).
+
+        A dependent device→host fetch is the completion barrier: on the
+        remote-tunnel platform block_until_ready() can return before
+        execution finishes. The batch is rolled per iteration so no two
+        dispatches share identical (executable, args)."""
+        t0 = time.perf_counter()
+        acc = jnp.zeros((), jnp.int32)
+        for i in range(iters):
+            tokens, lengths = caption_kernel(p, jnp.roll(images, i, axis=0))
+            acc = acc + jnp.sum(tokens)
+        int(acc)  # host fetch: completes only after every iteration ran
+        dt = time.perf_counter() - t0
+        return batch * iters / dt, np.asarray(lengths), dt
+
+    configs = {"bf16": trained, "worst": params, "int8": trained_q}
+    # warmup/compile every config BEFORE any timing (one compile per params
+    # dtype layout; all three share the bf16 executable except int8)
+    for p in configs.values():
+        tokens, _ = caption_kernel(p, images)
+        int(jnp.sum(tokens))
+
+    # INTERLEAVED repetitions, median per config: a single contiguous pass
+    # per config let ±10-40% tunnel variance ship an impossible ordering in
+    # the round-2 artifact (worst-case "faster" than the trained pipeline).
+    reps = int(os.environ.get("MIT_BENCH_REPS", 2 if tiny else 5))
+    samples = {k: [] for k in configs}
+    lengths_by = {}
+    dt_by = {k: [] for k in configs}
+    for _ in range(reps):
+        for name, p in configs.items():
+            ips, lens, dt = timed_pass(p)
+            samples[name].append(ips)
+            lengths_by[name] = lens
+            dt_by[name].append(dt)
+    ips_trained = float(np.median(samples["bf16"]))
+    ips_worst = float(np.median(samples["worst"]))
+    ips_int8 = float(np.median(samples["int8"]))
+    lengths = lengths_by["bf16"]
+
     tokens_bf16 = np.asarray(caption_kernel(trained, images)[0])
-    ips_int8, _, _ = timed(trained_q)
     tokens_int8 = np.asarray(caption_kernel(trained_q, images)[0])
     int8_caption_match = float(
         np.mean(np.all(tokens_bf16 == tokens_int8, axis=1))
     )
 
-    # MFU: analytic FLOPs of the work actually executed. The while_loop
-    # runs until the LAST sequence in the batch emits END.
-    steps_executed = int(lengths.max())
-    flops_per_iter = batch * encoder_flops_per_image(mcfg.vision) + (
-        batch * steps_executed * decode_flops_per_step_per_seq(mcfg.decoder)
-    )
-    mfu = flops_per_iter * iters / dt_trained / V5E_BF16_PEAK
-
-    # Headline: the int8-encoder pipeline IFF its captions are
-    # token-identical to bf16's on this batch (int8_caption_match == 1.0 —
-    # the serving configuration a production deployment would pick);
-    # otherwise the bf16 pipeline. Both are always reported.
-    int8_faithful = int8_caption_match == 1.0
-    if worstcase_headline:
-        headline, headline_cfg = ips_worst, "bf16_worst_case"
-    elif int8_faithful:
-        headline, headline_cfg = ips_int8, "int8_encoder"
-    else:
-        headline, headline_cfg = ips_trained, "bf16"
-    baseline_per_chip = 5000.0 / 8.0
-    print(
-        json.dumps(
-            {
-                "metric": "caption_images_per_sec_per_chip",
-                "value": round(headline, 2),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(headline / baseline_per_chip, 3),
-                "headline_config": headline_cfg,
-                "bf16_pipeline_ips": round(ips_trained, 2),
-                "worst_case_full_length_ips": round(ips_worst, 2),
-                "int8_encoder_ips": round(ips_int8, 2),
-                "int8_caption_match": round(int8_caption_match, 4),
-                "decode_len_p50": int(np.median(lengths)),
-                "decode_steps_executed": steps_executed,
-                "train_loss_after_prep": round(final_loss, 4),
-                "mfu_bf16_pipeline": round(mfu, 4),
-            }
+    # physical invariant: the trained pipeline decodes ~12 steps, the
+    # worst case decodes max_len — trained must NOT be slower
+    invariant_violation = None
+    if ips_trained < ips_worst * 0.98:
+        invariant_violation = (
+            f"trained bf16 ({ips_trained:.0f}) < worst-case ({ips_worst:.0f}) "
+            "— physically impossible for the same workload; treat this run's "
+            "numbers as noise-dominated"
         )
+        print(f"WARNING: {invariant_violation}")
+
+    # MFU: analytic FLOPs of the work actually executed. The while_loop
+    # runs until the LAST sequence in the batch emits END. int8 encoder
+    # GEMMs rate against the v5e int8 peak (2x bf16).
+    steps_executed = int(lengths.max())
+    dec_flops = batch * steps_executed * decode_flops_per_step_per_seq(mcfg.decoder)
+    enc_flops = batch * encoder_flops_per_image(mcfg.vision)
+    dt_bf16 = float(np.median(dt_by["bf16"]))
+    dt_int8 = float(np.median(dt_by["int8"]))
+    mfu = (enc_flops + dec_flops) * iters / dt_bf16 / V5E_BF16_PEAK
+    steps_int8 = int(lengths_by["int8"].max())
+    mfu_int8 = (
+        (enc_flops / 2.0  # int8 MACs count half vs the bf16 peak scale
+         + batch * steps_int8 * decode_flops_per_step_per_seq(mcfg.decoder))
+        * iters / dt_int8 / V5E_BF16_PEAK
     )
+
+    # Headline selection is an EXPLICIT knob (MIT_BENCH_HEADLINE); the
+    # default "auto" picks the int8 pipeline iff its captions are
+    # token-identical to bf16's on this batch — the configuration a
+    # production deployment would serve — else the bf16 pipeline. All
+    # configs are always reported for trend tracking.
+    choice = os.environ.get("MIT_BENCH_HEADLINE", "auto")
+    if worstcase_headline:
+        choice = "worst"
+    int8_faithful = int8_caption_match == 1.0
+    if choice == "auto":
+        choice = "int8" if int8_faithful else "bf16"
+    headline, headline_cfg = {
+        "bf16": (ips_trained, "bf16"),
+        "int8": (ips_int8, "int8_encoder"),
+        "worst": (ips_worst, "bf16_worst_case"),
+    }[choice]
+    baseline_per_chip = 5000.0 / 8.0
+    out = {
+        "metric": "caption_images_per_sec_per_chip",
+        "value": round(headline, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(headline / baseline_per_chip, 3),
+        "headline_config": headline_cfg,
+        "bf16_pipeline_ips": round(ips_trained, 2),
+        "worst_case_full_length_ips": round(ips_worst, 2),
+        "int8_encoder_ips": round(ips_int8, 2),
+        "int8_caption_match": round(int8_caption_match, 4),
+        "reps": reps,
+        "spread_pct_bf16": round(
+            100.0 * (max(samples["bf16"]) - min(samples["bf16"]))
+            / max(samples["bf16"]), 1
+        ),
+        "decode_len_p50": int(np.median(lengths)),
+        "decode_steps_executed": steps_executed,
+        "train_loss_after_prep": round(final_loss, 4),
+        "mfu_bf16_pipeline": round(mfu, 4),
+        "mfu_int8_pipeline": round(mfu_int8, 4),
+    }
+    if invariant_violation:
+        out["invariant_violation"] = invariant_violation
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
