@@ -111,6 +111,11 @@ class Config:
     # Cache frozen-encoder features keyed by image (encoder output is constant
     # for a frozen model — hoists the biggest redundant compute in training).
     CACHE_ENCODER_FEATURES: bool = True
+    # Host-RAM bound for that cache. CLS mode is tiny (~95 MB for Flickr30k);
+    # full-sequence mode stores bf16 and needs ~9 GB — a build that would
+    # exceed this bound falls back to in-graph encoding instead of OOMing
+    # the host.
+    FEATURE_CACHE_MAX_BYTES: int = 12_000_000_000
     # "cls": memory = projected [CLS] token, length-1 (reference model.py:141).
     # "full": memory = full patch sequence (reference encoder.py:107 path).
     MEMORY_MODE: str = "cls"

@@ -8,8 +8,10 @@ image: compute once per *unique* image, keep the (U, S, H_enc) array in host
 RAM, and feed training steps from the cache (BASELINE.json config 3).
 
 CLS mode: 31k images × 768 fp32 ≈ 95 MB — trivially cacheable.
-Full-sequence mode (197×768 per image ≈ 18 GB for Flickr30k) is cached in
-bf16 halves or disabled via ``max_bytes``.
+Full-sequence mode (197×768 per image, ≈ 9 GB in bf16 for Flickr30k) stores
+bf16 halves by default; ``max_bytes`` bounds the host footprint — a build
+that would exceed it raises :class:`FeatureCacheTooLarge` *before* encoding
+anything, and the training loop falls back to in-graph encoding.
 """
 
 from __future__ import annotations
@@ -20,8 +22,13 @@ from typing import Dict, List, Optional
 import numpy as np
 import jax
 import jax.numpy as jnp
+import ml_dtypes
 
 from mit_tpu.models.model import ModelConfig, encode_images
+
+
+class FeatureCacheTooLarge(ValueError):
+    """The projected cache size exceeds ``max_bytes``; train uncached."""
 
 
 class FeatureCache:
@@ -48,12 +55,34 @@ class FeatureCache:
         mcfg: ModelConfig,
         batch_size: int = 32,
         num_workers: int = 2,
-        dtype=np.float32,
+        dtype=None,
+        max_bytes: Optional[int] = None,
         verbose: bool = True,
     ) -> "FeatureCache":
+        """``dtype`` defaults to fp32 for CLS features (tiny) and bf16 for
+        full-sequence features (the encoder itself computes in bf16, so the
+        cast loses nothing the training step ever saw). ``max_bytes`` is a
+        hard host-RAM bound checked against U × S × H *before* any encode
+        work; exceeding it raises :class:`FeatureCacheTooLarge`."""
         unique_paths: List[str] = sorted(set(dataset.image_paths))
         path_to_row = {p: i for i, p in enumerate(unique_paths)}
         pre = dataset.preprocessor
+
+        full_seq = mcfg.memory_mode != "cls"
+        if dtype is None:
+            dtype = ml_dtypes.bfloat16 if full_seq else np.float32
+        seq = mcfg.vision.seq_len if full_seq else 1
+        est_bytes = (
+            len(unique_paths) * seq * mcfg.vision.hidden_size
+            * np.dtype(dtype).itemsize
+        )
+        if max_bytes is not None and est_bytes > max_bytes:
+            raise FeatureCacheTooLarge(
+                f"feature cache would need {est_bytes / 1e9:.2f} GB "
+                f"({len(unique_paths)} images x {seq} x "
+                f"{mcfg.vision.hidden_size} @ {np.dtype(dtype).name}) "
+                f"> max_bytes={max_bytes / 1e9:.2f} GB"
+            )
 
         # params as jit argument (a closure constant would be baked into the
         # compiled program and stall compilation for real-size encoders)

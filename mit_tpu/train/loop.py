@@ -231,17 +231,28 @@ def train(
             f"ENCODER_QUANT must be 'none' or 'int8', got {cfg.ENCODER_QUANT!r}"
         )
 
-    # --- frozen-feature cache (encoder leaves the train step entirely) ---
-    use_cache = cfg.CACHE_ENCODER_FEATURES and cfg.MEMORY_MODE == "cls"
+    # --- frozen-feature cache (encoder leaves the train step entirely).
+    # Works for CLS (fp32, ~95 MB) and full-sequence memory (bf16, bounded
+    # by FEATURE_CACHE_MAX_BYTES — too large falls back to in-graph
+    # encoding instead of OOMing the host).
+    use_cache = cfg.CACHE_ENCODER_FEATURES
     cache = None
     if use_cache:
+        from mit_tpu.train.features import FeatureCacheTooLarge
+
         print("Building frozen-encoder feature cache ...")
-        cache = FeatureCache.build(
-            dataset, step_encoder["encoder"], mcfg,
-            batch_size=min(cfg.BATCH_SIZE, 64), num_workers=cfg.NUM_WORKERS,
-        )
-        print(f"Feature cache: {cache.features.shape}, "
-              f"{cache.nbytes / 1e6:.1f} MB")
+        try:
+            cache = FeatureCache.build(
+                dataset, step_encoder["encoder"], mcfg,
+                batch_size=min(cfg.BATCH_SIZE, 64),
+                num_workers=cfg.NUM_WORKERS,
+                max_bytes=cfg.FEATURE_CACHE_MAX_BYTES,
+            )
+            print(f"Feature cache: {cache.features.shape} "
+                  f"@ {cache.features.dtype}, {cache.nbytes / 1e6:.1f} MB")
+        except FeatureCacheTooLarge as e:
+            print(f"{e}; training with the encoder in-graph instead.")
+            use_cache = False
 
     # With cached features the loaders skip pixel work entirely — batches
     # carry only tokens + paths; features attach from the cache (the

@@ -174,6 +174,69 @@ def test_attach_features_on_text_only_batch(corpus):
     assert (out["features"][3] == 0).all()         # pad row → zero features
 
 
+def test_full_sequence_feature_cache_bf16(corpus):
+    """Full-sequence mode stores bf16 by default; lookup returns fp32
+    features matching an fp32-built cache to bf16 mantissa tolerance."""
+    import jax
+    from mit_tpu.models.decoder import DecoderConfig
+    from mit_tpu.models.model import ModelConfig, init_model_params
+    from mit_tpu.models.vision import VisionConfig
+    from mit_tpu.train.features import FeatureCache
+
+    cfg, tok = corpus
+    ds = ImageTextDataset(cfg.IMAGE_DIR, cfg.CAPTIONS_FILE, cfg.MAX_SEQ_LEN, tok, ENC)
+    vis = VisionConfig(
+        family="vit", image_size=224, patch_size=56, hidden_size=48,
+        num_layers=1, num_heads=2, intermediate_size=64,
+        hidden_act="gelu", layer_norm_eps=1e-12,
+        patch_bias=True, ln_pre=False, ln_post=True,
+    )
+    dec = DecoderConfig(vocab_size=64, embed_dim=32, num_heads=2, num_layers=1,
+                        ff_dim=48, max_seq_len=12, dropout=0.0, pad_idx=0)
+    mcfg = ModelConfig("tiny", vis, dec, "full")
+    params = init_model_params(jax.random.PRNGKey(0), mcfg)
+
+    c16 = FeatureCache.build(ds, params["encoder"], mcfg, batch_size=4,
+                             num_workers=1, verbose=False)
+    c32 = FeatureCache.build(ds, params["encoder"], mcfg, batch_size=4,
+                             num_workers=1, dtype=np.float32, verbose=False)
+    import ml_dtypes
+
+    assert c16.features.dtype == ml_dtypes.bfloat16
+    assert c16.features.shape[1] == vis.seq_len          # full patch sequence
+    assert c16.nbytes == c32.nbytes // 2
+    paths = sorted(set(ds.image_paths))[:3]
+    f16, f32 = c16.lookup(paths), c32.lookup(paths)
+    assert f16.dtype == np.float32                       # fp32 at the consumer
+    scale = np.abs(f32).max()
+    np.testing.assert_allclose(f16, f32, atol=scale / 100.0)  # bf16 mantissa
+
+
+def test_feature_cache_max_bytes_guard(corpus):
+    """The size guard trips BEFORE any encode work and names the numbers."""
+    import jax
+    from mit_tpu.models.decoder import DecoderConfig
+    from mit_tpu.models.model import ModelConfig, init_model_params
+    from mit_tpu.models.vision import VisionConfig
+    from mit_tpu.train.features import FeatureCache, FeatureCacheTooLarge
+
+    cfg, tok = corpus
+    ds = ImageTextDataset(cfg.IMAGE_DIR, cfg.CAPTIONS_FILE, cfg.MAX_SEQ_LEN, tok, ENC)
+    vis = VisionConfig(
+        family="vit", image_size=224, patch_size=56, hidden_size=48,
+        num_layers=1, num_heads=2, intermediate_size=64,
+        hidden_act="gelu", layer_norm_eps=1e-12,
+        patch_bias=True, ln_pre=False, ln_post=True,
+    )
+    dec = DecoderConfig(vocab_size=64, embed_dim=32, num_heads=2, num_layers=1,
+                        ff_dim=48, max_seq_len=12, dropout=0.0, pad_idx=0)
+    mcfg = ModelConfig("tiny", vis, dec, "full")
+    params = init_model_params(jax.random.PRNGKey(0), mcfg)
+    with pytest.raises(FeatureCacheTooLarge, match="max_bytes"):
+        FeatureCache.build(ds, params["encoder"], mcfg, batch_size=4,
+                           num_workers=1, max_bytes=64, verbose=False)
+
+
 def test_loader_shuffles_between_epochs(corpus):
     cfg, tok = corpus
     ds = ImageTextDataset(cfg.IMAGE_DIR, cfg.CAPTIONS_FILE, cfg.MAX_SEQ_LEN, tok, ENC)

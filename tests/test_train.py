@@ -298,6 +298,14 @@ def test_mesh_training_tp_axis(tiny_corpus, monkeypatch):
     assert np.isfinite(s["epochs"][0]["train_loss"])
 
 
+def test_feature_cache_too_large_falls_back(tiny_corpus, monkeypatch, capsys):
+    """FEATURE_CACHE_MAX_BYTES too small → train() proceeds uncached."""
+    cfg = tiny_corpus.replace(NUM_EPOCHS=1, FEATURE_CACHE_MAX_BYTES=16)
+    s = _tiny_train(cfg, monkeypatch, max_steps_per_epoch=1)
+    assert np.isfinite(s["epochs"][0]["train_loss"])
+    assert "in-graph" in capsys.readouterr().out
+
+
 def test_mesh_batch_divisibility_error(tiny_corpus, monkeypatch):
     cfg = tiny_corpus.replace(MESH_SHAPE=(8, 1), BATCH_SIZE=6)
     with pytest.raises(ValueError, match="divisible"):
