@@ -139,6 +139,27 @@ def main():
     lens = [len(v) for v in results.values()]
     decoder_only = round(reqs / dt, 1)
 
+    # ------------------------------------------------------------------
+    # Beam-search service throughput: K=3 beams per slot (the reference's
+    # BEAM_SIZE, reference config.py:137) served from the same continuous-
+    # batching loop — K x decoder rows + a per-step cache reorder, so
+    # expect well under 1/K of greedy throughput.
+    # ------------------------------------------------------------------
+    breqs = int(os.environ.get("MIT_BENCH_BEAM_REQS", max(256, reqs // 4)))
+    svc_beam = CaptionService(
+        cap2, num_slots=slots, compute_dtype=jnp.bfloat16,
+        method="beam", beam_size=3,
+        steps_per_sync=int(os.environ.get("MIT_BENCH_WINDOW", 12)),
+    )
+    for i in range(min(8, breqs)):
+        svc_beam.submit_memory(mem[i])
+    svc_beam.run_to_completion()
+    t0 = time.perf_counter()
+    for i in range(breqs):
+        svc_beam.submit_memory(mem[i % reqs])
+    svc_beam.run_to_completion()
+    beam_cps = round(breqs / (time.perf_counter() - t0), 1)
+
     # warm up both programs
     warm = np.asarray(encode_chunk(enc_params, proj, jnp.asarray(images_u8[:chunk])))
     for row in warm[:8]:
@@ -172,6 +193,8 @@ def main():
         "requests": reqs,
         "caption_len_p50": float(np.median(lens)),
         "decode_steps": svc.steps_run,
+        "beam3_captions_per_sec": beam_cps,
+        "beam3_requests": breqs,
         "e2e_images_to_captions_per_sec": round(reqs / dt2, 1),
         "e2e_encoder": (
             "int8" if os.environ.get("MIT_BENCH_INT8", "1") == "1" else "bf16"

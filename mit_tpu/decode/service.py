@@ -34,10 +34,14 @@ from mit_tpu.ops.attention import layer_norm
 from mit_tpu.ops.masks import NEG_INF
 from mit_tpu.ops.positional import sinusoid_table
 
+# beam-score mask (matches decode/beam.py's _NEG so service beam search is
+# token-identical to beam_generate; NEG_INF above is the attention constant)
+_NEG = -1e30
 
-def _one_token(params, cfg, tokens, pos, key_pad, k_cache, v_cache,
-               cross_const, cd):
-    """Advance every slot one token at its own position → (next_ids, k, v).
+
+def _one_token_logits(params, cfg, tokens, pos, key_pad, k_cache, v_cache,
+                      cross_const, cd):
+    """Advance every slot one token at its own position → (logits, k, v).
 
     Perf-critical properties (measured — see BENCHMARKS.md):
     - caches live in the native (L, S, T, D) layout and are DONATED by the
@@ -93,12 +97,13 @@ def _one_token(params, cfg, tokens, pos, key_pad, k_cache, v_cache,
         x = layer_norm(jax.tree.map(lambda a: a[l], lay["ln3"]), x + y)
 
     logits = x.astype(jnp.float32) @ params["fc_w"] + params["fc_b"]
-    return jnp.argmax(logits, axis=-1).astype(jnp.int32), k_cache, v_cache
+    return logits, k_cache, v_cache
 
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "compute_dtype", "n_steps"),
+    static_argnames=("cfg", "compute_dtype", "n_steps", "temperature",
+                     "top_k", "top_p"),
     donate_argnames=("k_cache", "v_cache"),
 )
 def service_decode_window(
@@ -116,6 +121,10 @@ def service_decode_window(
     pad_id: jnp.ndarray,
     compute_dtype=jnp.float32,
     n_steps: int = 1,
+    rng: Optional[jax.Array] = None,
+    temperature: float = 0.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """``n_steps`` tokens for every slot → (ids (S, n_steps), pos', active',
     k', v').
@@ -128,16 +137,32 @@ def service_decode_window(
     idle until the window closes — pick n_steps ≪ typical caption length).
     ``params`` is the *prepared* pytree from
     :func:`mit_tpu.decode.step.prepare_decode_params`.
+
+    ``temperature=0`` (the default) selects by argmax — the greedy service.
+    ``temperature>0`` draws each slot's token from the temperature-scaled,
+    top-k/top-p-filtered distribution (the same static-shape filter as the
+    batch sampler, :func:`mit_tpu.decode.sampling.filter_logits`), with
+    ``rng`` split once per micro-step — the serving counterpart of the
+    reference's missing stochastic decoding.
     """
     cd = compute_dtype
     t_max = k_cache.shape[2]
     rows = jnp.arange(tokens.shape[0])
     outs = []
     for _ in range(n_steps):
-        nxt, k_cache, v_cache = _one_token(
+        logits, k_cache, v_cache = _one_token_logits(
             params, cfg, tokens, pos, key_pad, k_cache, v_cache,
             cross_const, cd,
         )
+        if temperature == 0.0:
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        else:
+            from mit_tpu.decode.sampling import filter_logits
+
+            rng, sub = jax.random.split(rng)
+            nxt = jax.random.categorical(
+                sub, filter_logits(logits, temperature, top_k, top_p)
+            ).astype(jnp.int32)
         outs.append(nxt)
         newpos = jnp.minimum(pos + 1, t_max - 1)
         key_pad = key_pad.at[rows, newpos].set(
@@ -148,6 +173,106 @@ def service_decode_window(
         pos = jnp.where(active, newpos, pos)
         active = active & ~done
     return jnp.stack(outs, axis=1), pos, active, k_cache, v_cache
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "beam_size", "compute_dtype", "n_steps"),
+    donate_argnames=("k_cache", "v_cache"),
+)
+def service_beam_window(
+    params: dict,
+    cfg: DecoderConfig,
+    tokens: jnp.ndarray,        # (R,) current token per beam row, R = S*K
+    pos: jnp.ndarray,           # (S,) int32 decode position per slot
+    active: jnp.ndarray,        # (S,) bool
+    key_pad: jnp.ndarray,       # (R, T) bool
+    k_cache: jnp.ndarray,       # (L, R, T, D) — donated, updated in place
+    v_cache: jnp.ndarray,
+    cross_const: jnp.ndarray,   # (L, R, D) — each slot's row repeated K×
+    scores: jnp.ndarray,        # (S, K) fp32 total log-probability per beam
+    finished: jnp.ndarray,      # (S, K) bool
+    end_id: jnp.ndarray,
+    pad_id: jnp.ndarray,
+    beam_size: int = 3,
+    compute_dtype=jnp.float32,
+    n_steps: int = 1,
+):
+    """``n_steps`` beam-search tokens for every slot.
+
+    → (new_tok (S, K, n), src_beam (S, K, n), scores', finished', pos',
+    active', k', v').
+
+    The continuous-batching generalization of
+    :func:`mit_tpu.decode.beam.beam_generate` (its per-slot semantics are
+    identical and tested token-for-token equal): every slot owns K
+    consecutive decoder rows; each micro-step scores all R = S·K rows in one
+    decoder pass, takes the per-slot top-K over (K·V) continuations, and
+    reorders the slot's K cache/key-pad rows by parent beam — a gather that
+    stays inside the slot's row block, so under a slot-sharded mesh it never
+    crosses shards. Finished beams extend with PAD at zero incremental
+    score (frozen totals stay comparable); a slot deactivates when all K of
+    its beams are finished or the length cap is hit. Inactive slots are
+    bit-frozen. The host replays (new_tok, src_beam) to maintain token
+    histories — the device never materializes (S, K, T) token storage.
+    """
+    cd = compute_dtype
+    k = beam_size
+    r = tokens.shape[0]
+    s_slots = r // k
+    t_max = k_cache.shape[2]
+    v = params["fc_b"].shape[0]
+    rows = jnp.arange(r)
+    slot_offset = (jnp.arange(s_slots) * k)[:, None]        # (S, 1)
+    ident = slot_offset + jnp.arange(k)[None, :]            # (S, K)
+    pad_onehot = jnp.where(jnp.arange(v)[None, None, :] == pad_id, 0.0,
+                           _NEG)
+    tok_outs, src_outs = [], []
+    for _ in range(n_steps):
+        pos_rows = jnp.repeat(pos, k)
+        logits, k_cache, v_cache = _one_token_logits(
+            params, cfg, tokens, pos_rows, key_pad, k_cache, v_cache,
+            cross_const, cd,
+        )
+        logp = jax.nn.log_softmax(logits, axis=-1).reshape(s_slots, k, v)
+        logp = jnp.where(finished[..., None], pad_onehot, logp)
+        total = scores[..., None] + logp                    # (S, K, V)
+        new_scores, flat_idx = jax.lax.top_k(total.reshape(s_slots, k * v), k)
+        src_beam = flat_idx // v                            # (S, K)
+        new_tok = (flat_idx % v).astype(jnp.int32)          # (S, K)
+        tok_outs.append(new_tok)
+        src_outs.append(src_beam)
+
+        # freeze inactive slots: identity gather, unchanged state
+        gather = jnp.where(active[:, None], slot_offset + src_beam,
+                           ident).reshape(-1)               # (R,)
+        k_cache = jnp.take(k_cache, gather, axis=1)
+        v_cache = jnp.take(v_cache, gather, axis=1)
+        key_pad = jnp.take(key_pad, gather, axis=0)
+        finished = jnp.where(
+            active[:, None],
+            jnp.take_along_axis(finished, src_beam, axis=1)
+            | (new_tok == end_id),
+            finished,
+        )
+        scores = jnp.where(active[:, None], new_scores, scores)
+
+        newpos = jnp.minimum(pos + 1, t_max - 1)
+        sel_tok = jnp.where(active[:, None], new_tok,
+                            tokens.reshape(s_slots, k)).reshape(-1)
+        newpos_rows = jnp.repeat(newpos, k)
+        key_pad = key_pad.at[rows, newpos_rows].set(
+            jnp.where(jnp.repeat(active, k), sel_tok == pad_id,
+                      key_pad[rows, newpos_rows])
+        )
+        tokens = sel_tok
+        done = active & (jnp.all(finished, axis=1) | (pos + 1 >= t_max - 1))
+        pos = jnp.where(active, newpos, pos)
+        active = active & ~done
+    return (
+        jnp.stack(tok_outs, axis=2), jnp.stack(src_outs, axis=2),
+        scores, finished, pos, active, k_cache, v_cache,
+    )
 
 
 def service_decode_step(
@@ -186,6 +311,12 @@ class CaptionService:
         compute_dtype=jnp.float32,
         mesh=None,
         steps_per_sync: int = 1,
+        method: str = "greedy",
+        beam_size: Optional[int] = None,
+        temperature: float = 1.0,
+        top_k: int = 0,
+        top_p: float = 1.0,
+        rng: Optional[jax.Array] = None,
     ):
         """``steps_per_sync``: tokens decoded per host round trip (device
         windows, token-identical to 1; admission granularity coarsens —
@@ -196,7 +327,21 @@ class CaptionService:
         instance drives a whole v5e-8 slice (BASELINE config 5). Weights
         replicate; the host keeps the full token/position bookkeeping and
         GSPMD runs each slot's math on its owning chip. ``num_slots`` must
-        divide evenly across the "data" axis."""
+        divide evenly across the "data" axis.
+
+        ``method``: ``'greedy'`` (default), ``'beam'`` or ``'sample'`` —
+        the same three decode methods as the batch API
+        (:meth:`mit_tpu.decode.api.Captioner.generate_from_memory`), served
+        from the continuous-batching loop. Beam runs K =
+        ``beam_size or cfg.BEAM_SIZE`` beams per slot (K decoder rows each,
+        token-identical to :func:`mit_tpu.decode.beam.beam_generate`);
+        sample draws from the temperature/top-k/top-p-filtered distribution
+        on device, seeded by ``rng`` (deterministic for a fixed submission
+        order)."""
+        if method not in ("greedy", "beam", "sample"):
+            raise ValueError(
+                f"method must be 'greedy', 'beam' or 'sample', got {method!r}"
+            )
         self.cap = captioner
         cfg = captioner.mcfg.decoder
         self.cfg = cfg
@@ -204,6 +349,16 @@ class CaptionService:
         self.T = min(max_len or cfg.max_seq_len, cfg.max_seq_len)
         self.cd = compute_dtype
         self.steps_per_sync = max(1, int(steps_per_sync))
+        self.method = method
+        self.K = (
+            (beam_size or getattr(captioner.cfg, "BEAM_SIZE", 3))
+            if method == "beam" else 1
+        )
+        self.temperature = float(temperature)
+        self.top_k = int(top_k)
+        self.top_p = float(top_p)
+        self._base_rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self._wave = 0
         from mit_tpu.decode.step import prepare_decode_params
 
         self.mesh = mesh
@@ -237,21 +392,31 @@ class CaptionService:
             ),
         )
         L, d = cfg.num_layers, cfg.embed_dim
+        # beam slots own K consecutive decoder rows; R = S (greedy/sample)
+        self.R = num_slots * self.K
         self.k_cache = self._shard(
-            jnp.zeros((L, num_slots, self.T, d), compute_dtype), 1
+            jnp.zeros((L, self.R, self.T, d), compute_dtype), 1
         )
         self.v_cache = self._shard(
-            jnp.zeros((L, num_slots, self.T, d), compute_dtype), 1
+            jnp.zeros((L, self.R, self.T, d), compute_dtype), 1
         )
         self.cross = self._shard(
-            jnp.zeros((L, num_slots, d), jnp.float32), 1
+            jnp.zeros((L, self.R, d), jnp.float32), 1
         )
         # host copy of each slot's decoder-memory row; admission recomputes
-        # the (L, S, D) cross constants in ONE fixed-shape jit call (per-slot
+        # the (L, R, D) cross constants in ONE fixed-shape jit call (per-slot
         # device updates would recompile per wave size and copy the array)
         self._mem_rows = np.zeros((num_slots, 1, d), np.float32)
-        self.tokens = np.full((num_slots, self.T), captioner.tokenizer.pad_id,
-                              np.int32)
+        pad = captioner.tokenizer.pad_id
+        if method == "beam":
+            # (S, K, T) token history per beam; the device returns
+            # (new_tok, src_beam) per micro-step and the host replays the
+            # beam reorder — the device never stores token history.
+            self.tokens = np.full((num_slots, self.K, self.T), pad, np.int32)
+            self.scores = np.zeros((num_slots, self.K), np.float32)
+            self.finished = np.zeros((num_slots, self.K), bool)
+        else:
+            self.tokens = np.full((num_slots, self.T), pad, np.int32)
         self.pos = np.zeros((num_slots,), np.int32)
         self.active = np.zeros((num_slots,), bool)
         self.slot_request: List[Optional[int]] = [None] * num_slots
@@ -321,24 +486,43 @@ class CaptionService:
             rid, memory = self._queue.pop(0)
             self._mem_rows[slot] = np.asarray(memory, np.float32).reshape(1, -1)
             self.tokens[slot] = self.cap.tokenizer.pad_id
-            self.tokens[slot, 0] = self.cap.tokenizer.start_id
+            if self.method == "beam":
+                self.tokens[slot, :, 0] = self.cap.tokenizer.start_id
+                # only beam 0 is alive at step 0 (all K rows are identical
+                # START copies; without this top-k would pick K duplicates)
+                self.scores[slot] = _NEG
+                self.scores[slot, 0] = 0.0
+                self.finished[slot] = False
+            else:
+                self.tokens[slot, 0] = self.cap.tokenizer.start_id
             self.pos[slot] = 0
             self.active[slot] = True
             self.slot_request[slot] = rid
             admitted = True
         if admitted:
+            mem = self._mem_rows
+            if self.K > 1:
+                mem = np.repeat(mem, self.K, axis=0)     # (R, 1, d)
             self.cross = self._shard(
                 _cross_const_for(
                     self.cap.params["decoder"]["layers"]["cross"],
-                    jnp.asarray(self._mem_rows),
+                    jnp.asarray(mem),
                 ),
                 1,
             )
 
     def _finish(self, slot: int) -> None:
         rid = self.slot_request[slot]
-        length = int(self.pos[slot]) + 1
-        self._results[rid] = self.tokens[slot, :length].tolist()
+        if self.method == "beam":
+            # best total log-probability across finished and length-capped
+            # beams — beam_generate's final-hypothesis rule
+            best = int(np.argmax(self.scores[slot]))
+            row = self.tokens[slot, best]
+            length = int((row != self.cap.tokenizer.pad_id).sum())
+            self._results[rid] = row[:length].tolist()
+        else:
+            length = int(self.pos[slot]) + 1
+            self._results[rid] = self.tokens[slot, :length].tolist()
         self.active[slot] = False
         self.slot_request[slot] = None
 
@@ -348,8 +532,21 @@ class CaptionService:
         self._admit()
         if not self.active.any():
             return
+        if self.method == "beam":
+            self._step_beam()
+        else:
+            self._step_flat()
+
+    def _step_flat(self) -> None:
+        """Greedy/sample window: one decoder row per slot."""
         end_id = self.cap.tokenizer.end_id
         pad_id = self.cap.tokenizer.pad_id
+        if self.method == "sample":
+            rng = jax.random.fold_in(self._base_rng, self._wave)
+            self._wave += 1
+            temperature = self.temperature
+        else:
+            rng, temperature = None, 0.0
         cur = self.tokens[np.arange(self.S), self.pos]
         ids, _, _, self.k_cache, self.v_cache = service_decode_window(
             self._prepared, self.cfg,
@@ -358,6 +555,7 @@ class CaptionService:
             self.k_cache, self.v_cache, self.cross,
             jnp.int32(end_id), jnp.int32(pad_id),
             self.cd, self.steps_per_sync,
+            rng, temperature, self.top_k, self.top_p,
         )
         ids = np.asarray(ids)                           # (S, n_steps)
         # replay the window's micro-steps in host bookkeeping (the device
@@ -372,6 +570,53 @@ class CaptionService:
             self.pos[act] = p[act]
             self.steps_run += 1
             done = act & ((nxt == end_id) | (p >= self.T - 1))
+            for slot in np.where(done)[0]:
+                self._finish(int(slot))
+
+    def _step_beam(self) -> None:
+        """Beam window: K decoder rows per slot, host-replayed reorder."""
+        end_id = self.cap.tokenizer.end_id
+        pad_id = self.cap.tokenizer.pad_id
+        s_idx = np.arange(self.S)[:, None]
+        cur = self.tokens[s_idx, np.arange(self.K)[None, :],
+                          self.pos[:, None]].reshape(self.R)
+        (ids, srcs, scores, _, _, _, self.k_cache, self.v_cache,
+         ) = service_beam_window(
+            self._prepared, self.cfg,
+            jnp.asarray(cur), jnp.asarray(self.pos), jnp.asarray(self.active),
+            jnp.asarray((self.tokens == pad_id).reshape(self.R, self.T)),
+            self.k_cache, self.v_cache, self.cross,
+            jnp.asarray(self.scores), jnp.asarray(self.finished),
+            jnp.int32(end_id), jnp.int32(pad_id),
+            self.K, self.cd, self.steps_per_sync,
+        )
+        ids = np.asarray(ids)                           # (S, K, n_steps)
+        srcs = np.asarray(srcs)
+        # the device freezes a slot's scores at deactivation, so the final
+        # window scores ARE each slot's at-finish scores — safe to adopt
+        # wholesale before replaying micro-steps
+        self.scores = np.array(scores)      # copy: jax buffers are read-only
+        for i in range(ids.shape[2]):
+            act = self.active.copy()
+            if not act.any():
+                break
+            nt = ids[:, :, i]                            # (S, K)
+            sb = srcs[:, :, i]
+            p = self.pos + 1
+            idx = np.where(act)[0]
+            sb_a = sb[idx]
+            self.tokens[idx] = np.take_along_axis(
+                self.tokens[idx], sb_a[:, :, None], axis=1
+            )
+            self.tokens[idx[:, None], np.arange(self.K)[None, :],
+                        p[idx][:, None]] = nt[idx]
+            self.finished[idx] = (
+                np.take_along_axis(self.finished[idx], sb_a, axis=1)
+                | (nt[idx] == end_id)
+            )
+            self.pos[act] = p[act]
+            self.steps_run += 1
+            done = act & (self.finished.all(axis=1) | (p >= self.T - 1))
             for slot in np.where(done)[0]:
                 self._finish(int(slot))
 

@@ -157,3 +157,138 @@ def test_service_multi_step_window_token_identical(captioner, window):
     got = svc.run_to_completion()
     for a, b in zip(rids_ref, rids):
         assert expect[a] == got[b]
+
+
+# ---------------------------------------------------------------- beam
+
+
+def _batch_beam(captioner, mems, beam_size):
+    from mit_tpu.decode.beam import beam_generate
+
+    tok = captioner.tokenizer
+    tokens, _ = beam_generate(
+        captioner.params["decoder"], captioner.mcfg.decoder,
+        jnp.asarray(mems), tok.start_id, tok.end_id, tok.pad_id, MAXLEN,
+        beam_size=beam_size,
+    )
+    tokens = np.asarray(tokens)
+    lengths = (tokens != tok.pad_id).sum(axis=1)
+    return [tokens[i, : lengths[i]].tolist() for i in range(tokens.shape[0])]
+
+
+def test_service_beam_matches_batch_beam(captioner):
+    """VERDICT item 4 'Done' gate: continuous-batching beam (fewer slots
+    than requests, slot reuse) == batch beam_generate, token for token."""
+    mems = _memories(captioner, 10, seed=11)
+    expect = _batch_beam(captioner, mems, beam_size=3)
+
+    svc = CaptionService(captioner, num_slots=3, method="beam", beam_size=3)
+    rids = [svc.submit_memory(mems[i]) for i in range(10)]
+    results = svc.run_to_completion()
+    for i, rid in enumerate(rids):
+        assert results[rid] == expect[i], f"request {i}"
+
+
+def test_service_beam_interleaved_submission(captioner):
+    """Beam slots admitted mid-flight must not disturb running slots."""
+    mems = _memories(captioner, 6, seed=13)
+    expect = _batch_beam(captioner, mems, beam_size=2)
+
+    svc = CaptionService(captioner, num_slots=2, method="beam", beam_size=2)
+    rids = [svc.submit_memory(mems[i]) for i in range(2)]
+    for _ in range(3):
+        svc.step()
+    rids += [svc.submit_memory(mems[i]) for i in range(2, 6)]
+    results = svc.run_to_completion()
+    for i, rid in enumerate(rids):
+        assert results[rid] == expect[i], f"request {i}"
+
+
+@pytest.mark.parametrize("window", [3])
+def test_service_beam_multi_step_window(captioner, window):
+    """Beam windows (steps_per_sync>1) are token-identical to step-by-step."""
+    mems = _memories(captioner, 7, seed=17)
+    ref = CaptionService(captioner, num_slots=3, method="beam", beam_size=3)
+    rids_ref = [ref.submit_memory(mems[i]) for i in range(7)]
+    expect = ref.run_to_completion()
+
+    svc = CaptionService(captioner, num_slots=3, method="beam", beam_size=3,
+                         steps_per_sync=window)
+    rids = [svc.submit_memory(mems[i]) for i in range(7)]
+    got = svc.run_to_completion()
+    for a, b in zip(rids_ref, rids):
+        assert expect[a] == got[b]
+
+
+def test_service_beam_size_one_reduces_to_greedy(captioner):
+    mems = _memories(captioner, 5, seed=19)
+    greedy = CaptionService(captioner, num_slots=2)
+    rids_g = [greedy.submit_memory(mems[i]) for i in range(5)]
+    expect = greedy.run_to_completion()
+
+    svc = CaptionService(captioner, num_slots=2, method="beam", beam_size=1)
+    rids = [svc.submit_memory(mems[i]) for i in range(5)]
+    got = svc.run_to_completion()
+    for a, b in zip(rids_g, rids):
+        assert expect[a] == got[b]
+
+
+def test_service_beam_sharded_mesh_matches_unsharded(captioner):
+    """Beam rows (S·K) shard across the mesh data axis without changing
+    tokens — the beam gather never crosses a slot's row block."""
+    from mit_tpu.parallel.mesh import create_mesh
+
+    mems = _memories(captioner, 10, seed=23)
+    ref = CaptionService(captioner, num_slots=8, method="beam", beam_size=2)
+    rids_ref = [ref.submit_memory(mems[i]) for i in range(10)]
+    expect = ref.run_to_completion()
+
+    mesh = create_mesh((8, 1))
+    svc = CaptionService(captioner, num_slots=8, method="beam", beam_size=2,
+                         mesh=mesh)
+    rids = [svc.submit_memory(mems[i]) for i in range(10)]
+    got = svc.run_to_completion()
+    for a, b in zip(rids_ref, rids):
+        assert expect[a] == got[b]
+    assert not svc.k_cache.sharding.is_fully_replicated
+
+
+# ---------------------------------------------------------------- sampling
+
+
+def test_service_sample_temperature_zero_is_greedy(captioner):
+    mems = _memories(captioner, 6, seed=29)
+    greedy = CaptionService(captioner, num_slots=3)
+    rids_g = [greedy.submit_memory(mems[i]) for i in range(6)]
+    expect = greedy.run_to_completion()
+
+    svc = CaptionService(captioner, num_slots=3, method="sample",
+                         temperature=0.0)
+    rids = [svc.submit_memory(mems[i]) for i in range(6)]
+    got = svc.run_to_completion()
+    for a, b in zip(rids_g, rids):
+        assert expect[a] == got[b]
+
+
+def test_service_sample_deterministic_per_rng(captioner):
+    import jax as _jax
+
+    mems = _memories(captioner, 6, seed=31)
+
+    def run(seed):
+        svc = CaptionService(captioner, num_slots=3, method="sample",
+                             temperature=1.0, top_k=5,
+                             rng=_jax.random.PRNGKey(seed))
+        rids = [svc.submit_memory(mems[i]) for i in range(6)]
+        res = svc.run_to_completion()
+        return [res[r] for r in rids]
+
+    a, b, c = run(0), run(0), run(1)
+    assert a == b                       # same rng + submission order
+    assert a != c                       # different rng draws differ
+    tok = captioner.tokenizer
+    for seq in a:
+        assert seq[0] == tok.start_id
+        assert len(seq) <= MAXLEN
+        # every sampled id is a real vocab id
+        assert all(0 <= t < tok.get_vocab_size() for t in seq)
