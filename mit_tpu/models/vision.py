@@ -426,14 +426,14 @@ def vision_forward_int8(
                 ctx = _attention_btd(q, k, v, hd)
             return x + int8_linear(ctx, a["o"], cd)
         bsz, s, _ = qkv.shape
-        q1 = qkv[:, :q_rows, :d].reshape(bsz, cfg.num_heads, hd)
+        q1 = qkv[:, :q_rows, :d].reshape(bsz, q_rows, cfg.num_heads, hd)
         kh = qkv[:, :, d:2 * d].reshape(bsz, s, cfg.num_heads, hd)
         vh = qkv[:, :, 2 * d:].reshape(bsz, s, cfg.num_heads, hd)
         scores = jnp.einsum(
-            "bhd,bshd->bhs", q1.astype(jnp.float32), kh.astype(jnp.float32)
+            "bqhd,bshd->bhqs", q1.astype(jnp.float32), kh.astype(jnp.float32)
         ) / math.sqrt(hd)
         probs = jax.nn.softmax(scores, axis=-1)
-        ctx = jnp.einsum("bhs,bshd->bhd", probs.astype(cd), vh)
+        ctx = jnp.einsum("bhqs,bshd->bqhd", probs.astype(cd), vh)
         return x[:, :q_rows] + int8_linear(
             ctx.reshape(bsz, q_rows, d), a["o"], cd
         )

@@ -143,14 +143,36 @@ def _mlp_half_kernel(
     o_ref[:] = x.astype(o_ref.dtype)
 
 
+@functools.lru_cache(maxsize=1)
+def _vmem_bytes() -> int:
+    """Per-core VMEM of the default device. v2-v5 TPU generations carry
+    ~16 MB/core (the budgets below were measured on v5e against that);
+    newer chips carry more. Derived from the device rather than baked in
+    so a smaller-VMEM generation falls back to the per-op int8 path
+    instead of failing kernel compilation at runtime (ADVICE r2)."""
+    try:
+        dev = jax.devices()[0]
+    except Exception:
+        return 16 * 1024 * 1024
+    v = getattr(dev, "vmem_size_bytes", None)  # plugin-provided if present
+    if isinstance(v, int) and v > 0:
+        return v
+    kind = str(getattr(dev, "device_kind", "")).lower()
+    if "v6" in kind or "trillium" in kind or "v7" in kind:
+        return 32 * 1024 * 1024
+    return 16 * 1024 * 1024
+
+
 def layer_fits_vmem(t: int, d: int, f: int) -> bool:
     """Will one batch item's layer fit VMEM? weights (int8) + the peak
     live activation set (MLP phase: x f32 + hidden f32 + hidden int8).
     ViT-B (197, 768, 3072) → ~10.7 MB: fits. ViT-L (257, 1024, 4096) →
-    ~18.9 MB: falls back to the split two-pass kernels."""
+    ~18.9 MB: falls back to the split two-pass kernels.
+
+    Budget = 13/16 of device VMEM (the v5e-measured headroom, scaled)."""
     weights = d * 3 * d + d * d + 2 * d * f
     acts = t * (4 * d + 5 * f)
-    return weights + acts <= 13 * 1024 * 1024
+    return weights + acts <= (13 * _vmem_bytes()) // 16
 
 
 def _mega_impl(x, ln1s, ln1b, wqkv, sqkv, bqkv, wo, so, bo,
@@ -287,9 +309,10 @@ def split_fits_vmem(t: int, d: int, f: int) -> bool:
     half is smaller."""
     # The estimate is conservative (the compiler reuses x/h/mid buffers);
     # ViT-L's MLP half computes to 15.0 MB and compiles + runs on v5e.
+    # Budget = 15.5/16 of device VMEM (v5e-measured headroom, scaled).
     mlp = 2 * d * f + t * (8 * d + 5 * f)
     attn = 3 * d * d + d * d + t * (4 * d + 2 * 3 * d + 4 * d + 4 * t)
-    return max(mlp, attn) <= 15.5 * 1024 * 1024
+    return max(mlp, attn) <= (155 * _vmem_bytes()) // 160
 
 
 def _split_impl(x, ln1s, ln1b, wqkv, sqkv, bqkv, wo, so, bo,

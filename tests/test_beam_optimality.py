@@ -1,5 +1,7 @@
 """Beam-search optimality vs brute force.
 
+pytestmark = pytest.mark.slow  # heavy end-to-end module (see pyproject)
+
 With beam width ≥ the whole candidate frontier, beam search IS exhaustive —
 its result must equal the global argmax sequence found by enumerating every
 possible token sequence and scoring it with the full decoder forward.

@@ -174,6 +174,7 @@ def test_attach_features_on_text_only_batch(corpus):
     assert (out["features"][3] == 0).all()         # pad row → zero features
 
 
+@pytest.mark.slow
 def test_full_sequence_feature_cache_bf16(corpus):
     """Full-sequence mode stores bf16 by default; lookup returns fp32
     features matching an fp32-built cache to bf16 mantissa tolerance."""

@@ -76,6 +76,7 @@ def test_step_matches_full_forward_full_memory(params):
                                    rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_cached_greedy_equals_uncached(params, memory):
     """The flagship equivalence: cached == reference O(T²) algorithm."""
     cached, lengths = greedy_generate(
@@ -92,6 +93,7 @@ def test_cached_greedy_equals_uncached(params, memory):
         assert (row[lengths[i]:] == PAD).all()
 
 
+@pytest.mark.slow
 def test_bucket_ladder_matches_single_bucket(params, memory):
     """The geometric KV-cache ladder (16→32→...) must be token-identical to
     one max_len-sized cache: masked cache positions are exact softmax zeros
@@ -133,6 +135,7 @@ def test_beam_size_one_equals_greedy(params, memory):
     np.testing.assert_array_equal(np.asarray(g), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_beam_bucket_ladder_matches_single_bucket(params, memory):
     """Beam search through the KV-cache ladder must be token- and
     score-identical to one max_len-sized cache."""
@@ -144,6 +147,7 @@ def test_beam_bucket_ladder_matches_single_bucket(params, memory):
     np.testing.assert_allclose(np.asarray(s_s), np.asarray(s_l), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_beam_score_at_least_greedy(params, memory):
     """Beam-3's sequence log-prob must be ≥ greedy's (same scoring)."""
     g, _ = greedy_generate(params, CFG, memory, START, END, PAD, MAXLEN)
@@ -164,6 +168,7 @@ def test_batch_matches_single(params):
 
 
 # ----------------------------------------------------------------------
+@pytest.mark.slow
 def test_captioner_end_to_end(tmp_path):
     """PIL image → caption string through the public Captioner API."""
     from PIL import Image

@@ -50,6 +50,7 @@ def test_build_from_config():
     assert mcfg.decoder.embed_dim == 512
 
 
+@pytest.mark.slow
 def test_forward_shapes_cls(tiny):
     mcfg, params = tiny
     pix = jnp.asarray(np.random.default_rng(0).normal(size=(2, 3, 32, 32)), jnp.float32)
@@ -82,6 +83,7 @@ def test_cached_features_equal_end_to_end(tiny):
     np.testing.assert_allclose(np.asarray(direct), np.asarray(via_cache), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_frozen_split_and_no_encoder_grads(tiny):
     mcfg, params = tiny
     trainable, frozen = split_trainable(params)
@@ -102,6 +104,7 @@ def test_frozen_split_and_no_encoder_grads(tiny):
     assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
 
 
+@pytest.mark.slow
 def test_no_projection_when_dims_match():
     vis = TINY_VISION._replace(hidden_size=32)
     mcfg = ModelConfig("x", vis, TINY_DECODER, "cls")

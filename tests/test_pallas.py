@@ -98,6 +98,7 @@ def test_flash_btd_no_pad_variant_matches(causal):
                                rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_flash_btd_backward_matches_xla():
     from mit_tpu.ops.pallas_attention import (
         _xla_attention_btd,
@@ -124,6 +125,7 @@ def test_flash_btd_backward_matches_xla():
                                    rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_decoder_forward_pallas_equals_xla():
     cfg = DecoderConfig(vocab_size=50, embed_dim=32, num_heads=4,
                         num_layers=2, ff_dim=48, max_seq_len=20,
@@ -139,6 +141,7 @@ def test_decoder_forward_pallas_equals_xla():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_vision_forward_pallas_equals_xla():
     cfg = VisionConfig(family="vit", image_size=32, patch_size=16,
                        hidden_size=32, num_layers=2, num_heads=4,
@@ -156,6 +159,7 @@ def test_vision_forward_pallas_equals_xla():
 
 
 @pytest.mark.parametrize("use_pallas", [False, True])
+@pytest.mark.slow
 def test_vision_cls_only_equals_full_slice(use_pallas):
     """cls_only last-layer shortcut == full forward's CLS row (both paths)."""
     cfg = VisionConfig(family="vit", image_size=32, patch_size=16,
@@ -175,6 +179,7 @@ def test_vision_cls_only_equals_full_slice(use_pallas):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_flash_with_dropout_trains():
     """Training with attention dropout runs through the dropout-fused
     kernel (pallas_dropout_attention) and stays finite."""

@@ -63,6 +63,7 @@ def test_forward_matches_oracle(qkv):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_backward_matches_oracle_grads(qkv):
     q, k, v, pad = qkv
     seed = 13

@@ -27,6 +27,8 @@ from mit_tpu.parallel.mesh import (
 )
 from mit_tpu.train.steps import init_train_state, make_optimizer, make_train_step
 
+pytestmark = pytest.mark.slow  # heavy end-to-end module (see pyproject)
+
 TINY_VISION = VisionConfig(
     family="vit", image_size=32, patch_size=16, hidden_size=48,
     num_layers=1, num_heads=8, intermediate_size=64,

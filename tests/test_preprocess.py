@@ -24,6 +24,7 @@ def _rand_image(w, h, seed=0):
         ("Salesforce/blip-image-captioning-base", "BlipImageProcessor"),
     ],
 )
+@pytest.mark.slow
 def test_host_matches_hf_processor(name, hf_cls):
     import transformers
 

@@ -28,6 +28,8 @@ from mit_tpu.models.pretrained import (
 )
 from mit_tpu.models.vision import vision_forward
 
+pytestmark = pytest.mark.slow  # heavy end-to-end module (see pyproject)
+
 D, L, H, F, IMG, PATCH = 128, 2, 2, 64, 32, 16  # head_dim 64 (see num_heads inference)
 
 

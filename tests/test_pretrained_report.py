@@ -58,6 +58,7 @@ def test_check_family_skip_reports_reason():
     assert "unreachable" in rec["reason"]
 
 
+@pytest.mark.slow
 def test_check_captions_match_on_reference_layout_checkpoint(tmp_path):
     """A reference-layout checkpoint round-trips to token-identical greedy
     captions between the torch rebuild and our KV-cached decode."""

@@ -21,6 +21,8 @@ from mit_tpu.models.vision import (
 )
 from mit_tpu.ops.quant import dynamic_quantize, int8_matmul, quantize_weight
 
+pytestmark = pytest.mark.slow  # heavy end-to-end module (see pyproject)
+
 CFG = VisionConfig(
     family="vit", image_size=32, patch_size=8, hidden_size=64,
     num_layers=3, num_heads=4, intermediate_size=128,

@@ -56,6 +56,7 @@ def test_temperature_zero_equals_greedy(params, memory):
     np.testing.assert_array_equal(np.asarray(g), np.asarray(s))
 
 
+@pytest.mark.slow
 def test_sampling_deterministic_per_key_and_varies_across_keys(params, memory):
     a1, _ = sample_generate(params, CFG, memory, jax.random.PRNGKey(5),
                             START, END, PAD, MAXLEN, temperature=1.0)
@@ -67,6 +68,7 @@ def test_sampling_deterministic_per_key_and_varies_across_keys(params, memory):
     assert not np.array_equal(np.asarray(a1), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_sampling_bucket_ladder_matches_single_bucket(params, memory):
     """The KV-cache ladder must be token-identical for the same rng key:
     each executed step consumes exactly one rng split either way."""

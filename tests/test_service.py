@@ -20,6 +20,8 @@ from mit_tpu.models.model import ModelConfig, init_model_params
 from mit_tpu.models.vision import VisionConfig
 from mit_tpu.text.tokenizer import train_tokenizer
 
+pytestmark = pytest.mark.slow  # heavy end-to-end module (see pyproject)
+
 MAXLEN = 14
 
 

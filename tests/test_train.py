@@ -1,4 +1,6 @@
 """Training subsystem tests: loss, optimizer parity, steps, checkpoints,
+
+pytestmark = pytest.mark.slow  # heavy end-to-end module (see pyproject)
 resume, and a tiny end-to-end training run."""
 
 import json

@@ -66,6 +66,7 @@ def test_step_timer():
                       "mean_step_seconds"}
 
 
+@pytest.mark.slow
 def test_encoder_tools_shapes():
     from PIL import Image
 
