@@ -300,6 +300,12 @@ def _cross_const_for(params_layers_cross: dict, memory: jnp.ndarray) -> jnp.ndar
     return out[:, :, 0, :]
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _scatter_cross_rows(cross, rows, idx):
+    """cross (L, R, D) ← rows (L, W, D) at row indices idx (W,), in place."""
+    return cross.at[:, idx, :].set(rows)
+
+
 class CaptionService:
     """Host-side orchestration of the continuously-batched decode loop."""
 
@@ -403,10 +409,6 @@ class CaptionService:
         self.cross = self._shard(
             jnp.zeros((L, self.R, d), jnp.float32), 1
         )
-        # host copy of each slot's decoder-memory row; admission recomputes
-        # the (L, R, D) cross constants in ONE fixed-shape jit call (per-slot
-        # device updates would recompile per wave size and copy the array)
-        self._mem_rows = np.zeros((num_slots, 1, d), np.float32)
         pad = captioner.tokenizer.pad_id
         if method == "beam":
             # (S, K, T) token history per beam; the device returns
@@ -471,20 +473,25 @@ class CaptionService:
     def _admit(self) -> None:
         """Fill free slots from the queue.
 
-        Admission is HOST bookkeeping plus one fixed-shape device call: the
-        (L, S, D) cross constants are recomputed from the host-side memory
-        rows (trivial FLOPs, one compile forever). The K/V caches need no
-        reset — the step's visibility masks make stale rows unreachable.
-        Per-slot device updates here were the round-1 service bottleneck:
-        every ``.at[slot].set`` copied the full cache and variable wave
-        sizes recompiled the scatter (measured 38 captions/s; batched
-        fixed-shape admission + donated row-scatter steps reach ~2,900)."""
+        Admission is HOST bookkeeping plus one WAVE-sized device call: the
+        cross constants are computed for the admitted rows only and
+        row-scattered into the (L, R, D) buffer in place (recomputing all R
+        rows made admission cost scale with slot count, not wave size). The
+        wave pads to the next power of two, capped at R, so the jits see a
+        small bounded set of shapes. The K/V caches need no reset — the
+        step's visibility masks make stale rows unreachable. Per-slot
+        device updates here were the round-1 service bottleneck: every
+        ``.at[slot].set`` copied the full cache and variable wave sizes
+        recompiled the scatter (measured 38 captions/s; batched fixed-shape
+        admission + donated row-scatter steps reach ~2,900)."""
         free = [i for i in range(self.S) if not self.active[i]]
-        admitted = False
+        admitted_slots: List[int] = []
+        admitted_mem: List[np.ndarray] = []
         while free and self._queue:
             slot = free.pop()
             rid, memory = self._queue.pop(0)
-            self._mem_rows[slot] = np.asarray(memory, np.float32).reshape(1, -1)
+            admitted_slots.append(slot)
+            admitted_mem.append(np.asarray(memory, np.float32).reshape(1, -1))
             self.tokens[slot] = self.cap.tokenizer.pad_id
             if self.method == "beam":
                 self.tokens[slot, :, 0] = self.cap.tokenizer.start_id
@@ -498,17 +505,25 @@ class CaptionService:
             self.pos[slot] = 0
             self.active[slot] = True
             self.slot_request[slot] = rid
-            admitted = True
-        if admitted:
-            mem = self._mem_rows
-            if self.K > 1:
-                mem = np.repeat(mem, self.K, axis=0)     # (R, 1, d)
-            self.cross = self._shard(
-                _cross_const_for(
-                    self.cap.params["decoder"]["layers"]["cross"],
-                    jnp.asarray(mem),
-                ),
-                1,
+        if admitted_slots:
+            # each admitted slot owns K consecutive decoder rows sharing its
+            # memory; duplicate pad indices rewrite the first admitted row
+            # with identical values (scatter order is then irrelevant)
+            idx = [s * self.K + k for s in admitted_slots for k in range(self.K)]
+            mem = [m for m in admitted_mem for _ in range(self.K)]
+            wave = 1
+            while wave < len(idx):
+                wave *= 2
+            wave = min(wave, self.R)
+            while len(idx) < wave:
+                idx.append(idx[0])
+                mem.append(mem[0])
+            rows = _cross_const_for(
+                self.cap.params["decoder"]["layers"]["cross"],
+                jnp.asarray(np.stack(mem)),            # (W, 1, d)
+            )
+            self.cross = _scatter_cross_rows(
+                self.cross, rows, jnp.asarray(np.asarray(idx, np.int32))
             )
 
     def _finish(self, slot: int) -> None:
