@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from mit_tpu.models.decoder import DecoderConfig
 from mit_tpu.decode.step import (
     decoder_step,
+    grow_cache,
     init_cache,
     prepare_decode_params,
     reindex_cache,
@@ -144,13 +145,7 @@ def beam_generate(
     for i, bucket in enumerate(bucket_sizes):
         if i > 0:
             pos, tokens, scores, finished, cache = state
-            grow = lambda a: (
-                jnp.zeros(
-                    a.shape[:3] + (bucket,) + a.shape[4:], a.dtype
-                ).at[:, :, :, : a.shape[3]].set(a)
-            )
-            cache = cache._replace(k=grow(cache.k), v=grow(cache.v))
-            state = (pos, tokens, scores, finished, cache)
+            state = (pos, tokens, scores, finished, grow_cache(cache, bucket))
         state = jax.lax.while_loop(make_cond(bucket), make_body(bucket), state)
     _, tokens, scores, finished, _ = state
 

@@ -19,6 +19,7 @@ from mit_tpu.models.decoder import DecoderConfig
 from mit_tpu.decode.step import (
     DecodeCache,
     decoder_step,
+    grow_cache,
     init_cache,
     prepare_decode_params,
 )
@@ -110,13 +111,7 @@ def laddered_decode_loop(
     for i, bucket in enumerate(bucket_sizes):
         if i > 0:
             pos, tokens, finished, cache, extra = state
-            grow = lambda a: (
-                jnp.zeros(
-                    a.shape[:3] + (bucket,) + a.shape[4:], a.dtype
-                ).at[:, :, :, : a.shape[3]].set(a)
-            )
-            cache = cache._replace(k=grow(cache.k), v=grow(cache.v))
-            state = (pos, tokens, finished, cache, extra)
+            state = (pos, tokens, finished, grow_cache(cache, bucket), extra)
         # a step at pos needs cache slot pos, so this bucket serves pos < bucket
         state = jax.lax.while_loop(make_cond(bucket), make_body(bucket), state)
     _, tokens, finished, _, extra = state

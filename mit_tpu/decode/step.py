@@ -5,8 +5,12 @@ prefix every step — O(T²) layer work per caption with no cache (reference
 model.py:219-242, flagged in its own comments). Here each step costs O(T)
 attention reads against a static-shape KV cache, jit-compiled once:
 
-- self-attention K/V live in a (L, B, H, T_max, hd) cache updated in place
-  (functional ``.at[].set`` that XLA performs as an aliased dynamic-update);
+- self-attention K/V live in a (L, B, T_max, D) cache updated in place
+  (functional ``.at[].set`` that XLA performs as an aliased dynamic-update).
+  The layout keeps D=512 on the lane dimension — a per-head (..., hd=64)
+  trailing dim would pad to the 128-lane tile and double every step's
+  cache read bytes; heads split via a free reshape at the einsum instead
+  (same layout the serving step uses);
 - the cross-attention contribution is precomputed ONCE per sequence: in CLS
   memory mode it is a per-layer constant vector (softmax over one key is 1 —
   same algebraic fast path as training), in full mode the memory K/V are
@@ -32,8 +36,8 @@ from mit_tpu.ops.positional import sinusoid_table
 class DecodeCache(NamedTuple):
     """Per-generation state reused across steps."""
 
-    k: jnp.ndarray                     # (L, B, H, T_max, hd) self-attn keys
-    v: jnp.ndarray                     # (L, B, H, T_max, hd) self-attn values
+    k: jnp.ndarray                     # (L, B, T_max, D) self-attn keys
+    v: jnp.ndarray                     # (L, B, T_max, D) self-attn values
     cross_const: Optional[jnp.ndarray]  # (L, B, D) CLS-mode constant, or None
     cross_k: Optional[jnp.ndarray]     # (L, B, H, S, hd) full-memory keys
     cross_v: Optional[jnp.ndarray]     # (L, B, H, S, hd) full-memory values
@@ -69,8 +73,8 @@ def init_cache(
             "silently clamp."
         )
 
-    k = jnp.zeros((L, b, h, t_max, hd), cd)
-    v = jnp.zeros((L, b, h, t_max, hd), cd)
+    k = jnp.zeros((L, b, t_max, d), cd)
+    v = jnp.zeros((L, b, t_max, d), cd)
 
     layers = params["layers"]
     mem = memory.astype(cd)
@@ -124,7 +128,12 @@ def prepare_decode_params(params: dict, compute_dtype=jnp.float32) -> dict:
             "ln1": ln(layers["ln1"]), "ln2": ln(layers["ln2"]),
             "ln3": ln(layers["ln3"]),
         },
-        "fc_w": params["fc_out_w"].astype(jnp.float32),
+        # logits GEMM operands in the compute dtype (f32 accumulation in the
+        # step): storing fc_w at fp32 doubles its per-step HBM read — and on
+        # TPU a "fp32" matmul lowers to bf16 passes at default precision
+        # anyway, so bf16 operands + f32 accumulate is the same numerics for
+        # half the traffic. The bias stays fp32 (added post-accumulation).
+        "fc_w": params["fc_out_w"].astype(cd),
         "fc_b": params["fc_out_b"].astype(jnp.float32),
     }
 
@@ -157,7 +166,7 @@ def decoder_step(
     d = cfg.embed_dim
     hd = d // h
     b = tokens.shape[0]
-    t_max = cache.k.shape[3]
+    t_max = cache.k.shape[2]
     lay = params["layers"]
 
     x = params["emb"][tokens] * jnp.asarray(math.sqrt(d), cd)
@@ -175,18 +184,19 @@ def decoder_step(
     for l in range(L):
         qf, kf, vf = jnp.split(x @ lay["wqkv"][l] + lay["bqkv"][l], 3, axis=-1)
         q = _split_heads_1(qf, h)
-        k_t = _split_heads_1(kf, h)
-        v_t = _split_heads_1(vf, h)
-        k_cache = k_cache.at[l, :, :, pos, :].set(k_t)
-        v_cache = v_cache.at[l, :, :, pos, :].set(v_t)
+        # contiguous (B, D) slab write at the current position
+        k_cache = k_cache.at[l, :, pos, :].set(kf)
+        v_cache = v_cache.at[l, :, pos, :].set(vf)
+        k_l = k_cache[l].reshape(b, t_max, h, hd)
+        v_l = v_cache[l].reshape(b, t_max, h, hd)
 
         scores = jnp.einsum(
-            "bhe,bhte->bht", q, k_cache[l], preferred_element_type=jnp.float32
+            "bhe,bthe->bht", q, k_l, preferred_element_type=jnp.float32
         ) * scale
         scores = jnp.where(visible, scores, NEG_INF)
         probs = jax.nn.softmax(scores, axis=-1).astype(cd)
         ctx = jnp.einsum(
-            "bht,bhte->bhe", probs, v_cache[l], preferred_element_type=jnp.float32
+            "bht,bthe->bhe", probs, v_l, preferred_element_type=jnp.float32
         ).astype(cd)
         sa = ctx.reshape(b, d) @ lay["wo"][l] + lay["bo"][l]
         x = layer_norm(jax.tree.map(lambda a: a[l], lay["ln1"]), x + sa)
@@ -216,11 +226,22 @@ def decoder_step(
         y = y @ lay["w2"][l] + lay["b2"][l]
         x = layer_norm(jax.tree.map(lambda a: a[l], lay["ln3"]), x + y)
 
-    logits = x.astype(jnp.float32) @ params["fc_w"] + params["fc_b"]
+    logits = jnp.dot(
+        x, params["fc_w"].astype(cd), preferred_element_type=jnp.float32
+    ) + params["fc_b"]
     return logits, DecodeCache(
         k_cache, v_cache, cache.cross_const, cache.cross_k, cache.cross_v,
         cache.cross_mask,
     )
+
+
+def grow_cache(cache: DecodeCache, bucket: int) -> DecodeCache:
+    """Copy the self-attn K/V into a larger static T_max (ladder growth)."""
+    grow = lambda a: (
+        jnp.zeros(a.shape[:2] + (bucket,) + a.shape[3:], a.dtype)
+        .at[:, :, : a.shape[2]].set(a)
+    )
+    return cache._replace(k=grow(cache.k), v=grow(cache.v))
 
 
 def reindex_cache(cache: DecodeCache, idx: jnp.ndarray) -> DecodeCache:
