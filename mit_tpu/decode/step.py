@@ -22,6 +22,7 @@ attention reads against a static-shape KV cache, jit-compiled once:
 from __future__ import annotations
 
 import math
+import os
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -180,6 +181,32 @@ def decoder_step(
 
     k_cache, v_cache = cache.k, cache.v
     scale = jnp.asarray(1.0 / math.sqrt(hd), jnp.float32)
+
+    # Fused whole-layer Pallas step (opt-in, CLS memory mode): one kernel
+    # per layer instead of ~30 XLA ops — see ops/pallas_decode_layer.py.
+    if (
+        os.environ.get("MIT_FUSED_DECODE") == "1"
+        and cache.cross_const is not None
+    ):
+        from mit_tpu.ops.pallas_decode_layer import fused_decode_layer
+
+        madd = jnp.broadcast_to(
+            jnp.where(visible, 0.0, NEG_INF)[:, 0, :], (b, t_max)
+        ).astype(jnp.float32)
+        for l in range(L):
+            x, k_new, v_new = fused_decode_layer(
+                x, pos, madd, k_cache[l], v_cache[l],
+                cache.cross_const[l], lay, l, h,
+            )
+            k_cache = k_cache.at[l, :, pos, :].set(k_new)
+            v_cache = v_cache.at[l, :, pos, :].set(v_new)
+        logits = jnp.dot(
+            x, params["fc_w"].astype(cd), preferred_element_type=jnp.float32
+        ) + params["fc_b"]
+        return logits, DecodeCache(
+            k_cache, v_cache, cache.cross_const, cache.cross_k,
+            cache.cross_v, cache.cross_mask,
+        )
 
     for l in range(L):
         qf, kf, vf = jnp.split(x @ lay["wqkv"][l] + lay["bqkv"][l], 3, axis=-1)
