@@ -22,6 +22,7 @@ memory would only change the cross precompute shape.
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -68,6 +69,25 @@ def _one_token_logits(params, cfg, tokens, pos, key_pad, k_cache, v_cache,
     visible = jnp.logical_and(visible, ~key_pad[:, None, :])
     scale = jnp.asarray(1.0 / math.sqrt(hd), jnp.float32)
     rows = jnp.arange(s_slots)
+
+    # Fused whole-layer Pallas step (opt-in): the kernel takes per-row
+    # positions, so the service's ragged slots reuse the batch kernel —
+    # see ops/pallas_decode_layer.py.
+    if os.environ.get("MIT_FUSED_DECODE") == "1":
+        from mit_tpu.ops.pallas_decode_layer import fused_decode_layer
+
+        madd = jnp.where(visible[:, 0, :], 0.0, NEG_INF).astype(jnp.float32)
+        for l in range(L):
+            x, k_new, v_new = fused_decode_layer(
+                x, pos, madd, k_cache[l], v_cache[l], cross_const[l],
+                lay, l, h,
+            )
+            k_cache = k_cache.at[l, rows, pos, :].set(k_new.astype(cd))
+            v_cache = v_cache.at[l, rows, pos, :].set(v_new.astype(cd))
+        logits = jnp.dot(
+            x, params["fc_w"].astype(cd), preferred_element_type=jnp.float32
+        ) + params["fc_b"]
+        return logits, k_cache, v_cache
 
     for l in range(L):
         qf, kf, vf = jnp.split(x @ lay["wqkv"][l] + lay["bqkv"][l], 3, -1)

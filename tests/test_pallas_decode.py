@@ -120,6 +120,55 @@ def test_greedy_tokens_identical(setup):
     assert np.array_equal(np.asarray(got), np.asarray(oracle))
 
 
+def test_service_tokens_identical(setup):
+    """The continuous-batching service (per-slot ragged positions) produces
+    the same captions with the fused kernel on."""
+    import os
+    from mit_tpu.config import Config
+    from mit_tpu.decode.api import Captioner
+    from mit_tpu.decode.service import CaptionService
+
+    params_dec, memory = setup
+    full = {"decoder": params_dec}
+
+    class TinyTok:
+        pad_id, start_id, end_id, unk_id = 0, 2, 3, 1
+
+        def decode(self, ids, skip_special_tokens=False):
+            return " ".join(map(str, ids))
+
+    cap = Captioner.__new__(Captioner)
+    cap.params = full
+    cap.mcfg = _mcfg()
+    cap.cfg = Config()
+    cap.tokenizer = TinyTok()
+    mems = np.asarray(memory)
+
+    def run():
+        svc = CaptionService(cap, num_slots=2, compute_dtype=jnp.float32)
+        rids = [svc.submit_memory(mems[i]) for i in range(4)]
+        done = {}
+        for _ in range(300):
+            svc.step()
+            for rid in rids:
+                r = svc.result(rid)
+                if r is not None and rid not in done:
+                    done[rid] = list(np.asarray(r).ravel())
+            if len(done) == len(rids):
+                break
+        return [done[r] for r in rids]
+
+    ref = run()
+    os.environ["MIT_FUSED_DECODE"] = "1"
+    jax.clear_caches()
+    try:
+        got = run()
+    finally:
+        os.environ.pop("MIT_FUSED_DECODE", None)
+        jax.clear_caches()
+    assert got == ref
+
+
 def test_bf16_logits_close(setup):
     """bf16 compute: the kernel keeps the residual stream in f32 where the
     XLA path rounds to bf16 per sublayer — logits agree to bf16-scale
