@@ -151,26 +151,11 @@ def decode_layer_supported(b: int, t: int, d: int, f: int, itemsize: int) -> boo
     return _batch_block(b, t, d, f, itemsize) > 0
 
 
-def fused_decode_layer(
-    x: jnp.ndarray,                    # (B, D) residual stream, compute dtype
-    pos: jnp.ndarray,                  # () or (B,) int32 position(s)
-    madd: jnp.ndarray,                 # (B, T) f32 additive key mask
-    k_cache: jnp.ndarray,              # (B, T, D) this layer's K cache
-    v_cache: jnp.ndarray,              # (B, T, D)
-    cross_const: jnp.ndarray,          # (B, D) cross-attn constant
-    lay: dict,                         # stacked prepared layer params
-    l: int,                            # layer index into the stacks
-    num_heads: int,
-    eps: float = 1e-5,
-    interpret: bool | None = None,
-):
-    """→ (x', k_new (B, D), v_new (B, D)); caller scatters the rows."""
-    if interpret is None:
-        from mit_tpu.ops.pallas_attention import on_tpu
-
-        interpret = not on_tpu()
+def _impl(x, posv, madd, k_cache, v_cache, cross, *weights,
+          heads, eps, interpret):
+    """pallas_call over the LOCAL batch block (per-shard under GSPMD)."""
     b, t, d = k_cache.shape
-    f = lay["w1"].shape[-1]
+    f = weights[10].shape[-1]              # w1
     cd = x.dtype
     bb = b if interpret else _batch_block(b, t, d, f, jnp.dtype(cd).itemsize)
     if bb == 0:
@@ -178,11 +163,10 @@ def fused_decode_layer(
             f"fused_decode_layer: no batch block of B={b} fits VMEM "
             f"(T={t}, D={d}, F={f})"
         )
-
     kernel = functools.partial(
         _decode_layer_kernel,
-        heads=num_heads, hd=d // num_heads, eps=eps,
-        scale=1.0 / math.sqrt(d // num_heads),
+        heads=heads, hd=d // heads, eps=eps,
+        scale=1.0 / math.sqrt(d // heads),
     )
     row = lambda n: pl.BlockSpec((1, n), lambda i: (0, 0),
                                  memory_space=pltpu.VMEM)
@@ -191,14 +175,6 @@ def fused_decode_layer(
     bblk = lambda *shape: pl.BlockSpec((bb,) + shape,
                                        lambda i: (i,) + (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
-    r2 = lambda a: a.reshape(1, -1)
-    ln = lambda p: (r2(p["scale"]), r2(p["bias"]))
-    l1s, l1b = ln(jax.tree.map(lambda a: a[l], lay["ln1"]))
-    l2s, l2b = ln(jax.tree.map(lambda a: a[l], lay["ln2"]))
-    l3s, l3b = ln(jax.tree.map(lambda a: a[l], lay["ln3"]))
-    posv = jnp.broadcast_to(
-        jnp.reshape(pos.astype(jnp.int32), (-1, 1)), (b, 1)
-    )
     return pl.pallas_call(
         kernel,
         grid=(b // bb,),
@@ -221,7 +197,96 @@ def fused_decode_layer(
             jax.ShapeDtypeStruct((b, d), cd),
         ],
         interpret=interpret,
-    )(
+    )(x, posv, madd, k_cache, v_cache, cross, *weights)
+
+
+# GSPMD integration: batch is the only shardable dim — the six per-row
+# operands shard over the data mesh axis, weights replicate, and each
+# shard runs the kernel on its local rows (same pattern as the int8
+# layer kernels). Required for the sharded CaptionService.
+@functools.lru_cache(maxsize=None)
+def _make_partitioned(statics):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    impl = functools.partial(_impl, **dict(statics))
+
+    @custom_partitioning
+    def fwd(*arrs):
+        return impl(*arrs)
+
+    def _batch_axis(arg_shapes):
+        try:
+            spec = arg_shapes[0].sharding.spec
+        except AttributeError:
+            return None
+        return spec[0] if len(spec) > 0 else None
+
+    def infer_sharding(mesh, arg_shapes, result_shape):
+        out = NamedSharding(mesh, P(_batch_axis(arg_shapes), None))
+        return (out, out, out)
+
+    def partition(mesh, arg_shapes, result_shape):
+        bax = _batch_axis(arg_shapes)
+        rep = NamedSharding(mesh, P())
+        bsh = lambda nd: NamedSharding(
+            mesh, P(*([bax] + [None] * (nd - 1)))
+        )
+        ins = tuple(
+            bsh(len(s.shape)) if i < 6 else rep
+            for i, s in enumerate(arg_shapes)
+        )
+        out = bsh(2)
+
+        def lower(*arrs):
+            return impl(*arrs)
+
+        return mesh, lower, (out, out, out), ins
+
+    rule = (
+        "b d, b u, b t, b t d, b t d, b d, "
+        + ", ".join(f"p{i} q{i}" for i in range(14))
+        + " -> b d, b d, b d"
+    )
+    fwd.def_partition(
+        infer_sharding_from_operands=infer_sharding,
+        partition=partition,
+        sharding_rule=rule,
+    )
+    return fwd
+
+
+def fused_decode_layer(
+    x: jnp.ndarray,                    # (B, D) residual stream, compute dtype
+    pos: jnp.ndarray,                  # () or (B,) int32 position(s)
+    madd: jnp.ndarray,                 # (B, T) f32 additive key mask
+    k_cache: jnp.ndarray,              # (B, T, D) this layer's K cache
+    v_cache: jnp.ndarray,              # (B, T, D)
+    cross_const: jnp.ndarray,          # (B, D) cross-attn constant
+    lay: dict,                         # stacked prepared layer params
+    l: int,                            # layer index into the stacks
+    num_heads: int,
+    eps: float = 1e-5,
+    interpret: bool | None = None,
+):
+    """→ (x', k_new (B, D), v_new (B, D)); caller scatters the rows."""
+    if interpret is None:
+        from mit_tpu.ops.pallas_attention import on_tpu
+
+        interpret = not on_tpu()
+    b = k_cache.shape[0]
+    r2 = lambda a: a.reshape(1, -1)
+    ln = lambda p: (r2(p["scale"]), r2(p["bias"]))
+    l1s, l1b = ln(jax.tree.map(lambda a: a[l], lay["ln1"]))
+    l2s, l2b = ln(jax.tree.map(lambda a: a[l], lay["ln2"]))
+    l3s, l3b = ln(jax.tree.map(lambda a: a[l], lay["ln3"]))
+    posv = jnp.broadcast_to(
+        jnp.reshape(pos.astype(jnp.int32), (-1, 1)), (b, 1)
+    )
+    fwd = _make_partitioned(
+        (("heads", num_heads), ("eps", eps), ("interpret", interpret))
+    )
+    return fwd(
         x, posv, madd.astype(jnp.float32),
         k_cache, v_cache, cross_const.astype(jnp.float32),
         lay["wqkv"][l], r2(lay["bqkv"][l].astype(jnp.float32)),

@@ -169,6 +169,57 @@ def test_service_tokens_identical(setup):
     assert got == ref
 
 
+def test_service_sharded_fused(setup):
+    """Fused kernel under GSPMD: the mesh-sharded service (slots split over
+    the data axis via custom_partitioning) matches the unsharded service."""
+    import os
+    from mit_tpu.config import Config
+    from mit_tpu.decode.api import Captioner
+    from mit_tpu.decode.service import CaptionService
+    from mit_tpu.parallel.mesh import create_mesh
+
+    params_dec, memory = setup
+    full = {"decoder": params_dec}
+
+    class TinyTok:
+        pad_id, start_id, end_id, unk_id = 0, 2, 3, 1
+
+        def decode(self, ids, skip_special_tokens=False):
+            return " ".join(map(str, ids))
+
+    cap = Captioner.__new__(Captioner)
+    cap.params = full
+    cap.mcfg = _mcfg()
+    cap.cfg = Config()
+    cap.tokenizer = TinyTok()
+    mems = np.asarray(memory)
+
+    def run(mesh):
+        svc = CaptionService(cap, num_slots=8, compute_dtype=jnp.float32,
+                             mesh=mesh)
+        rids = [svc.submit_memory(mems[i % mems.shape[0]]) for i in range(10)]
+        done = {}
+        for _ in range(400):
+            svc.step()
+            for rid in rids:
+                r = svc.result(rid)
+                if r is not None and rid not in done:
+                    done[rid] = list(np.asarray(r).ravel())
+            if len(done) == len(rids):
+                break
+        return [done[r] for r in rids]
+
+    os.environ["MIT_FUSED_DECODE"] = "1"
+    jax.clear_caches()
+    try:
+        ref = run(None)
+        got = run(create_mesh((8, 1)))
+    finally:
+        os.environ.pop("MIT_FUSED_DECODE", None)
+        jax.clear_caches()
+    assert got == ref
+
+
 def test_bf16_logits_close(setup):
     """bf16 compute: the kernel keeps the residual stream in f32 where the
     XLA path rounds to bf16 per sublayer — logits agree to bf16-scale
