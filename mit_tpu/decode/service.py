@@ -73,7 +73,12 @@ def _one_token_logits(params, cfg, tokens, pos, key_pad, k_cache, v_cache,
     # Fused whole-layer Pallas step (opt-in): the kernel takes per-row
     # positions, so the service's ragged slots reuse the batch kernel —
     # see ops/pallas_decode_layer.py.
-    if os.environ.get("MIT_FUSED_DECODE") == "1":
+    from mit_tpu.decode.step import _fused_supported
+
+    if (
+        os.environ.get("MIT_FUSED_DECODE") == "1"
+        and _fused_supported(s_slots, t_max, d, lay["w1"].shape[-1], cd)
+    ):
         from mit_tpu.ops.pallas_decode_layer import fused_decode_layer
 
         madd = jnp.where(visible[:, 0, :], 0.0, NEG_INF).astype(jnp.float32)

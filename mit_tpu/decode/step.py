@@ -51,6 +51,17 @@ def _split_heads_1(x: jnp.ndarray, h: int) -> jnp.ndarray:
     return x.reshape(b, h, d // h)
 
 
+def _fused_supported(b: int, t: int, d: int, f: int, cd) -> bool:
+    """True when the fused decode-layer kernel can run this geometry
+    (interpret mode always can; on TPU a batch block must fit VMEM)."""
+    from mit_tpu.ops.pallas_attention import on_tpu
+    from mit_tpu.ops.pallas_decode_layer import decode_layer_supported
+
+    if not on_tpu():
+        return True
+    return decode_layer_supported(b, t, d, f, jnp.dtype(cd).itemsize)
+
+
 def init_cache(
     params: dict,
     cfg: DecoderConfig,
@@ -184,9 +195,12 @@ def decoder_step(
 
     # Fused whole-layer Pallas step (opt-in, CLS memory mode): one kernel
     # per layer instead of ~30 XLA ops — see ops/pallas_decode_layer.py.
+    # Falls back to the XLA path when no batch block of this geometry fits
+    # VMEM (huge T buckets on small-VMEM generations).
     if (
         os.environ.get("MIT_FUSED_DECODE") == "1"
         and cache.cross_const is not None
+        and _fused_supported(b, t_max, d, lay["w1"].shape[-1], cd)
     ):
         from mit_tpu.ops.pallas_decode_layer import fused_decode_layer
 

@@ -137,7 +137,7 @@ def _batch_block(b: int, t: int, d: int, f: int, itemsize: int) -> int:
 
     weights = (4 * d * d + 2 * d * f) * itemsize
     budget = (13 * _vmem_bytes()) // 16
-    for bb in (512, 256, 128, 64, 32, 16, 8):
+    for bb in (512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
         if b % bb != 0:
             continue
         caches = 2 * 2 * bb * t * d * itemsize        # k+v, double-buffered
