@@ -97,6 +97,15 @@ def make_color_dataset(batch, img_hw, rng):
 def main():
     tiny = os.environ.get("MIT_BENCH_TINY") == "1"
     worstcase_headline = os.environ.get("MIT_BENCH_WORSTCASE") == "1"
+    # validate the headline knob BEFORE the multi-minute run — a typo'd
+    # value must not throw away the measurements at the final dict lookup
+    headline_choice = os.environ.get("MIT_BENCH_HEADLINE", "auto")
+    if headline_choice not in ("auto", "bf16", "int8", "worst"):
+        print(
+            f"WARNING: MIT_BENCH_HEADLINE={headline_choice!r} not in "
+            "{auto,bf16,int8,worst}; using 'auto'"
+        )
+        headline_choice = "auto"
 
     import jax
     import jax.numpy as jnp
@@ -220,17 +229,22 @@ def main():
         lambda p: quantize_vision_params(p, mcfg.vision)
     )(trained["encoder"])
 
-    def timed_pass(p):
+    def timed_pass(p, rep=0):
         """One timed pass of `iters` pipeline iterations → (ips, lengths, dt).
 
         A dependent device→host fetch is the completion barrier: on the
         remote-tunnel platform block_until_ready() can return before
-        execution finishes. The batch is rolled per iteration so no two
-        dispatches share identical (executable, args)."""
+        execution finishes. The batch is rolled by a GLOBAL index
+        (rep*iters + i) so no two dispatches in the whole run share
+        identical (executable, args) — rolling by the within-pass index
+        alone would let later reps replay rep 1's exact dispatches, which
+        the tunnel can serve from its result cache."""
         t0 = time.perf_counter()
         acc = jnp.zeros((), jnp.int32)
         for i in range(iters):
-            tokens, lengths = caption_kernel(p, jnp.roll(images, i, axis=0))
+            tokens, lengths = caption_kernel(
+                p, jnp.roll(images, rep * iters + i + 1, axis=0)
+            )
             acc = acc + jnp.sum(tokens)
         int(acc)  # host fetch: completes only after every iteration ran
         dt = time.perf_counter() - t0
@@ -250,9 +264,9 @@ def main():
     samples = {k: [] for k in configs}
     lengths_by = {}
     dt_by = {k: [] for k in configs}
-    for _ in range(reps):
+    for rep in range(reps):
         for name, p in configs.items():
-            ips, lens, dt = timed_pass(p)
+            ips, lens, dt = timed_pass(p, rep)
             samples[name].append(ips)
             lengths_by[name] = lens
             dt_by[name].append(dt)
@@ -299,7 +313,7 @@ def main():
     # token-identical to bf16's on this batch — the configuration a
     # production deployment would serve — else the bf16 pipeline. All
     # configs are always reported for trend tracking.
-    choice = os.environ.get("MIT_BENCH_HEADLINE", "auto")
+    choice = headline_choice
     if worstcase_headline:
         choice = "worst"
     int8_faithful = int8_caption_match == 1.0

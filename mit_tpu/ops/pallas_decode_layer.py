@@ -141,8 +141,12 @@ def _batch_block(b: int, t: int, d: int, f: int, itemsize: int) -> int:
         if b % bb != 0:
             continue
         caches = 2 * 2 * bb * t * d * itemsize        # k+v, double-buffered
+        # the kernel's largest live intermediate is an f32 (BB, T, D)
+        # (the cache cast / q*k product); count one full copy — Mosaic
+        # fuses the elementwise chain but the compiler may still hold one
+        f32_attn = 4 * bb * t * d
         acts = bb * (3 * d + t + f) * 4 * 2           # f32 stream, headroom
-        if weights + caches + acts <= budget:
+        if weights + caches + f32_attn + acts <= budget:
             return bb
     return 0
 

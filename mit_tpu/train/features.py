@@ -131,13 +131,16 @@ class FeatureCache:
         return cls(np.concatenate(rows, axis=0), path_to_row, failed)
 
     def lookup(self, paths: List[str]) -> np.ndarray:
-        """(B, S, H_enc) features for a batch of image paths.
+        """(B, S, H_enc) features for a batch of image paths, in the
+        cache's own dtype (upcasting a bf16 full-sequence cache here would
+        double the host RAM and H2D bytes per batch just for the train
+        step to cast straight back down — the step handles the cast).
 
         Unknown paths (e.g. the dataset's dummy-item marker for corrupt
         images) resolve to zero features.
         """
         b = len(paths)
-        out = np.zeros((b, *self.features.shape[1:]), np.float32)
+        out = np.zeros((b, *self.features.shape[1:]), self.features.dtype)
         for i, p in enumerate(paths):
             row = self.path_to_row.get(p)
             if row is not None:
@@ -158,7 +161,7 @@ def attach_features(batch: dict, cache: Optional[FeatureCache]) -> dict:
     b = batch["decoder_input_tokens"].shape[0]
     if feats.shape[0] < b:  # batch was padded to static size
         feats = np.concatenate(
-            [feats, np.zeros((b - feats.shape[0], *feats.shape[1:]), np.float32)]
+            [feats, np.zeros((b - feats.shape[0], *feats.shape[1:]), feats.dtype)]
         )
     out = dict(batch)
     out["features"] = feats

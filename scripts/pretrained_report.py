@@ -340,6 +340,7 @@ def main(argv=None) -> int:
         json.dump(report, f, indent=2)
     print(f"Report written to {args.out}")
     statuses = [r["status"] for r in report["families"].values()]
+    statuses.append(report["caption_parity"]["status"])
     return 1 if "mismatch" in statuses else 0
 
 
