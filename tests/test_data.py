@@ -208,9 +208,15 @@ def test_full_sequence_feature_cache_bf16(corpus):
     assert c16.nbytes == c32.nbytes // 2
     paths = sorted(set(ds.image_paths))[:3]
     f16, f32 = c16.lookup(paths), c32.lookup(paths)
-    assert f16.dtype == np.float32                       # fp32 at the consumer
+    import ml_dtypes as _mld
+
+    # lookup keeps the cache dtype — upcasting bf16 to f32 per batch would
+    # double host RAM + H2D bytes just for the train step to cast back down
+    assert f16.dtype == _mld.bfloat16
+    assert f32.dtype == np.float32
     scale = np.abs(f32).max()
-    np.testing.assert_allclose(f16, f32, atol=scale / 100.0)  # bf16 mantissa
+    np.testing.assert_allclose(f16.astype(np.float32), f32,
+                               atol=scale / 100.0)       # bf16 mantissa
 
 
 def test_feature_cache_max_bytes_guard(corpus):
