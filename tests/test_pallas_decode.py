@@ -120,6 +120,28 @@ def test_greedy_tokens_identical(setup):
     assert np.array_equal(np.asarray(got), np.asarray(oracle))
 
 
+def test_beam_tokens_identical(setup):
+    """Beam search (k=3, cache reindex every step) under the fused kernel."""
+    import os
+    from mit_tpu.decode.beam import beam_generate
+
+    params, memory = setup
+    ref, rs = beam_generate(params, CFG, memory, 2, 3, 0, CFG.max_seq_len,
+                            beam_size=3, compute_dtype=jnp.float32)
+    os.environ["MIT_FUSED_DECODE"] = "1"
+    jax.clear_caches()
+    try:
+        got, gs = beam_generate(params, CFG, memory, 2, 3, 0,
+                                CFG.max_seq_len, beam_size=3,
+                                compute_dtype=jnp.float32)
+    finally:
+        os.environ.pop("MIT_FUSED_DECODE", None)
+        jax.clear_caches()
+    assert np.array_equal(np.asarray(got), np.asarray(ref))
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(rs),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_service_tokens_identical(setup):
     """The continuous-batching service (per-slot ragged positions) produces
     the same captions with the fused kernel on."""
