@@ -18,6 +18,17 @@ Variants:
   f32logits — fc_out GEMM with fp32 operands (the pre-round-3 layout)
   noattn    — scores/softmax/ctx replaced by a qf slice
   nocache   — no cache update (attends stale zeros)
+  splitcache — cache carried as L separate (B, T, D) buffers (tests the
+               hypothesis that chained DUS+read on ONE (L, B, T, D) buffer
+               makes XLA insert whole-cache defensive copies each step)
+  tfirst    — splitcache with (T, B, D) per-layer buffers: the position
+              update becomes a contiguous major-dim slab write
+  stale     — splitcache + attend over the STALE cache with a fresh-row
+              correction, scattering all new K/V rows at the END of the
+              step body (the DUS is then the last consumer of each carried
+              buffer, so XLA's loop aliasing can update in place)
+  stalem    — stale on the single (L, B, T, D) buffer: all L rows stacked
+              into ONE end-of-body DUS per cache (the least-invasive form)
   noffn     — FFN skipped
   noln      — layer norms skipped
   gemmsonly — nologits+noattn+nocache+noln (GEMMs + residuals only)
@@ -61,7 +72,10 @@ def local_step(params, tokens, pos, k_cache, v_cache, cross_const, key_pad,
                flags):
     cd = CD
     b = tokens.shape[0]
-    t_max = k_cache.shape[2]
+    if isinstance(k_cache, tuple):
+        t_max = k_cache[0].shape[0 if "tfirst" in flags else 1]
+    else:
+        t_max = k_cache.shape[2]
     lay = params["layers"]
     x = params["emb"][tokens] * jnp.asarray(math.sqrt(D), cd)
     pos_table = sinusoid_table(dec.max_seq_len, D, dtype=cd)
@@ -70,10 +84,33 @@ def local_step(params, tokens, pos, k_cache, v_cache, cross_const, key_pad,
     visible = jnp.logical_and(visible, ~key_pad[:, None, :])
     scale = jnp.asarray(1.0 / math.sqrt(HD), jnp.float32)
 
+    split = isinstance(k_cache, tuple)
+    tfirst = "tfirst" in flags
+    stale = "stale" in flags
+    new_rows = []
     for l in range(L):
         qf, kf, vf = jnp.split(x @ lay["wqkv"][l] + lay["bqkv"][l], 3, axis=-1)
         q = qf.reshape(b, H, HD)
-        if "nocache" not in flags:
+        if stale:
+            new_rows.append((kf, vf))
+        elif tfirst:
+            # (T, B, D) buffers: position update = contiguous slab at [pos]
+            k_cache = tuple(
+                c.at[pos].set(kf) if i == l else c
+                for i, c in enumerate(k_cache))
+            v_cache = tuple(
+                c.at[pos].set(vf) if i == l else c
+                for i, c in enumerate(v_cache))
+        elif split:
+            # per-layer buffers: the DUS and the read touch only THIS
+            # layer's (B, T, D) array, so no whole-cache aliasing hazard
+            k_cache = tuple(
+                c.at[:, pos, :].set(kf) if i == l else c
+                for i, c in enumerate(k_cache))
+            v_cache = tuple(
+                c.at[:, pos, :].set(vf) if i == l else c
+                for i, c in enumerate(v_cache))
+        elif "nocache" not in flags:
             k_cache = k_cache.at[l, :, pos, :].set(kf)
             v_cache = v_cache.at[l, :, pos, :].set(vf)
         if "noattn" in flags:
@@ -90,6 +127,45 @@ def local_step(params, tokens, pos, k_cache, v_cache, cross_const, key_pad,
             ctx = (probs.astype(jnp.float32)[..., None]
                    * v_l.astype(jnp.float32)).sum(1)                 # (B,H,HD)
             sa = ctx.reshape(b, D).astype(cd) @ lay["wo"][l] + lay["bo"][l]
+        elif stale:
+            if tfirst:
+                k_l = k_cache[l].reshape(t_max, b, H, HD)
+                v_l = v_cache[l].reshape(t_max, b, H, HD)
+                scores = jnp.einsum("bhe,tbhe->bht", q, k_l,
+                                    preferred_element_type=jnp.float32) * scale
+            else:
+                k_l = k_cache[l].reshape(b, t_max, H, HD)
+                v_l = v_cache[l].reshape(b, t_max, H, HD)
+                scores = jnp.einsum("bhe,bthe->bht", q, k_l,
+                                    preferred_element_type=jnp.float32) * scale
+            # the cache row at t == pos is stale: overwrite with the fresh
+            # score, and add the fresh V row's contribution separately
+            s_pos = (qf.astype(jnp.float32) * kf.astype(jnp.float32)
+                     ).reshape(b, H, HD).sum(-1) * scale          # (B,H)
+            at_pos = (jnp.arange(t_max) == pos)[None, None, :]    # (1,1,T)
+            scores = jnp.where(at_pos, s_pos[:, :, None], scores)
+            scores = jnp.where(visible, scores, NEG_INF)
+            # round probs to cd FIRST (as base does) so the fresh-row split
+            # only reorders the f32 accumulation, it doesn't change operands
+            probs = jax.nn.softmax(scores, axis=-1).astype(cd)    # (B,H,T)
+            p_pos = jnp.sum(jnp.where(at_pos, probs, 0.0)
+                            .astype(jnp.float32), -1)             # (B,H)
+            p_cache = jnp.where(at_pos, jnp.asarray(0.0, cd), probs)
+            ctx = jnp.einsum("bht,tbhe->bhe" if tfirst else "bht,bthe->bhe",
+                             p_cache, v_l,
+                             preferred_element_type=jnp.float32)
+            ctx = ctx + p_pos[..., None] * vf.astype(jnp.float32).reshape(b, H, HD)
+            sa = ctx.astype(cd).reshape(b, D) @ lay["wo"][l] + lay["bo"][l]
+        elif tfirst:
+            k_l = k_cache[l].reshape(t_max, b, H, HD)
+            v_l = v_cache[l].reshape(t_max, b, H, HD)
+            scores = jnp.einsum("bhe,tbhe->bht", q, k_l,
+                                preferred_element_type=jnp.float32) * scale
+            scores = jnp.where(visible, scores, NEG_INF)
+            probs = jax.nn.softmax(scores, axis=-1).astype(cd)
+            ctx = jnp.einsum("bht,tbhe->bhe", probs, v_l,
+                             preferred_element_type=jnp.float32).astype(cd)
+            sa = ctx.reshape(b, D) @ lay["wo"][l] + lay["bo"][l]
         else:
             k_l = k_cache[l].reshape(b, t_max, H, HD)
             v_l = v_cache[l].reshape(b, t_max, H, HD)
@@ -119,6 +195,26 @@ def local_step(params, tokens, pos, k_cache, v_cache, cross_const, key_pad,
         else:
             x = layer_norm(jax.tree.map(lambda a: a[l], lay["ln3"]), x + y)
 
+    if stale:
+        # all scatters at the end of the body: each carried buffer's last
+        # consumer is its own DUS → eligible for in-place loop aliasing
+        if not split:
+            # mono (L, B, T, D) buffer: ONE stacked DUS per cache
+            k_cache = k_cache.at[:, :, pos, :].set(
+                jnp.stack([r[0] for r in new_rows]))
+            v_cache = v_cache.at[:, :, pos, :].set(
+                jnp.stack([r[1] for r in new_rows]))
+        elif tfirst:
+            k_cache = tuple(c.at[pos].set(new_rows[i][0])
+                            for i, c in enumerate(k_cache))
+            v_cache = tuple(c.at[pos].set(new_rows[i][1])
+                            for i, c in enumerate(v_cache))
+        else:
+            k_cache = tuple(c.at[:, pos, :].set(new_rows[i][0])
+                            for i, c in enumerate(k_cache))
+            v_cache = tuple(c.at[:, pos, :].set(new_rows[i][1])
+                            for i, c in enumerate(v_cache))
+
     if "nologits" in flags:
         logits = jnp.broadcast_to(x.astype(jnp.float32)[:, :1], (b, V))
     elif "f32logits" in flags:
@@ -135,7 +231,16 @@ def build_local(flags=()):
     @jax.jit
     def run(params, raw, memory, tokens0):
         cache = init_cache({"layers": raw}, dec, memory, None, BUCKET, CD)
+        # init_cache returns per-layer tuples (the production layout);
+        # mono variants model the pre-round-3 single (L, B, T, D) buffer
         k_cache, v_cache, cross_const = cache.k, cache.v, cache.cross_const
+        if "tfirst" in flags:
+            k_cache = tuple(jnp.transpose(c, (1, 0, 2)) for c in k_cache)
+            v_cache = tuple(jnp.transpose(c, (1, 0, 2)) for c in v_cache)
+        elif not (("splitcache" in flags or "stale" in flags)
+                  and "mono" not in flags):
+            k_cache = jnp.stack(k_cache)
+            v_cache = jnp.stack(v_cache)
 
         def body(i, st):
             tokens, k_cache, v_cache = st
@@ -182,6 +287,11 @@ VARIANTS = {
     "f32logits": ("f32logits",),
     "noattn": ("noattn",),
     "nocache": ("nocache",),
+    "splitcache": ("splitcache",),
+    "tfirst": ("tfirst",),
+    "stale": ("stale",),
+    "stalet": ("stale", "tfirst"),
+    "stalem": ("stale", "mono"),
     "noffn": ("noffn",),
     "noln": ("noln",),
     "vpuattn": ("vpuattn",),

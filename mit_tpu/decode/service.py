@@ -11,9 +11,10 @@ TPU-first constraints drive the design:
   across admissions/evictions;
 - slots decode at *different* positions, so the step takes a per-slot
   position vector (the batch greedy loop's scalar position generalized);
-- admission swaps a slot's memory/cross-attention constant and resets its
-  cache rows with in-place functional updates on device; the host only
-  orchestrates (submit/collect), it never touches token math.
+- admission swaps a slot's cross-attention constant with an in-place
+  row scatter on device (the KV cache needs no reset — stale rows are
+  unreachable); the host only orchestrates (submit/collect), it never
+  touches token math.
 
 CLS memory mode (the reference's configuration) is supported; full-sequence
 memory would only change the cross precompute shape.
@@ -45,17 +46,22 @@ def _one_token_logits(params, cfg, tokens, pos, key_pad, k_cache, v_cache,
     """Advance every slot one token at its own position → (logits, k, v).
 
     Perf-critical properties (measured — see BENCHMARKS.md):
-    - caches live in the native (L, S, T, D) layout and are DONATED by the
-      jitted callers, so each layer's per-slot-position write is one (S, D)
-      row scatter in place — not a full-cache one-hot rewrite plus an HBM
-      copy per step;
+    - caches live as L per-layer (S, T, D) buffers, DONATED by the jitted
+      callers; each step attends over the STALE cache with a fresh-row
+      correction at t == pos[slot] and scatters all L new K/V rows at the
+      END of the step — the DUS is then each buffer's last consumer, so
+      XLA updates it in place instead of inserting per-layer defensive
+      whole-cache copies (the batch step's measured −40%/step fix — see
+      decode/step.py and benchmarks/ab_decode_step.py);
     - admitted slots need NO cache reset: the visibility mask
-      (key j visible iff j ≤ pos[slot]) makes stale rows unreachable, and
-      position 0 is rewritten before it is ever read;
+      (key j visible iff j ≤ pos[slot]) hides stale rows beyond pos, and
+      the row AT pos comes from the fresh-row correction, never the stale
+      buffer contents;
     - greedy selection happens ON DEVICE — the host needs (S,) token ids
       (1 KB), never the (S, V) fp32 logits.
     """
-    L, s_slots, t_max, d = k_cache.shape
+    L = len(k_cache)
+    s_slots, t_max, d = k_cache[0].shape
     h = cfg.num_heads
     hd = d // h
     lay = params["layers"]
@@ -82,36 +88,59 @@ def _one_token_logits(params, cfg, tokens, pos, key_pad, k_cache, v_cache,
         from mit_tpu.ops.pallas_decode_layer import fused_decode_layer
 
         madd = jnp.where(visible[:, 0, :], 0.0, NEG_INF).astype(jnp.float32)
+        new_k, new_v = [], []
         for l in range(L):
+            # the kernel attends over the stale cache block internally
             x, k_new, v_new = fused_decode_layer(
                 x, pos, madd, k_cache[l], v_cache[l], cross_const[l],
                 lay, l, h,
             )
-            k_cache = k_cache.at[l, rows, pos, :].set(k_new.astype(cd))
-            v_cache = v_cache.at[l, rows, pos, :].set(v_new.astype(cd))
+            new_k.append(k_new.astype(cd))
+            new_v.append(v_new.astype(cd))
+        k_cache = tuple(
+            c.at[rows, pos, :].set(new_k[l]) for l, c in enumerate(k_cache)
+        )
+        v_cache = tuple(
+            c.at[rows, pos, :].set(new_v[l]) for l, c in enumerate(v_cache)
+        )
         logits = jnp.dot(
             x, params["fc_w"].astype(cd), preferred_element_type=jnp.float32
         ) + params["fc_b"]
         return logits, k_cache, v_cache
 
+    at_pos = jnp.arange(t_max)[None, None, :] == pos[:, None, None]  # (S,1,T)
+    new_k, new_v = [], []
     for l in range(L):
         qf, kf, vf = jnp.split(x @ lay["wqkv"][l] + lay["bqkv"][l], 3, -1)
         q = qf.reshape(s_slots, h, hd)
-        # one (S, D) row scatter per cache: each slot writes its position
-        k_cache = k_cache.at[l, rows, pos, :].set(kf)
-        v_cache = v_cache.at[l, rows, pos, :].set(vf)
+        new_k.append(kf)
+        new_v.append(vf)
+        # attend over the STALE cache; the row at t == pos[slot] is
+        # corrected from this step's fresh K/V below
         k_l = k_cache[l].reshape(s_slots, t_max, h, hd)
         v_l = v_cache[l].reshape(s_slots, t_max, h, hd)
 
         scores = jnp.einsum(
             "she,sthe->sht", q, k_l, preferred_element_type=jnp.float32
         ) * scale
+        s_pos = (
+            qf.astype(jnp.float32) * kf.astype(jnp.float32)
+        ).reshape(s_slots, h, hd).sum(-1) * scale             # (S, H)
+        scores = jnp.where(at_pos, s_pos[:, :, None], scores)
         scores = jnp.where(visible, scores, NEG_INF)
         probs = jax.nn.softmax(scores, axis=-1).astype(cd)
+        p_pos = jnp.sum(
+            jnp.where(at_pos, probs, 0.0).astype(jnp.float32), -1
+        )                                                     # (S, H)
+        p_cache = jnp.where(at_pos, jnp.asarray(0.0, cd), probs)
         ctx = jnp.einsum(
-            "sht,sthe->she", probs, v_l, preferred_element_type=jnp.float32
-        ).astype(cd)
-        sa = ctx.reshape(s_slots, d) @ lay["wo"][l] + lay["bo"][l]
+            "sht,sthe->she", p_cache, v_l,
+            preferred_element_type=jnp.float32,
+        )
+        ctx = ctx + p_pos[..., None] * vf.astype(jnp.float32).reshape(
+            s_slots, h, hd
+        )
+        sa = ctx.astype(cd).reshape(s_slots, d) @ lay["wo"][l] + lay["bo"][l]
         x = layer_norm(jax.tree.map(lambda a: a[l], lay["ln1"]), x + sa)
         x = layer_norm(
             jax.tree.map(lambda a: a[l], lay["ln2"]),
@@ -121,6 +150,13 @@ def _one_token_logits(params, cfg, tokens, pos, key_pad, k_cache, v_cache,
         y = y @ lay["w2"][l] + lay["b2"][l]
         x = layer_norm(jax.tree.map(lambda a: a[l], lay["ln3"]), x + y)
 
+    # all scatters at the END of the body (in-place loop aliasing)
+    k_cache = tuple(
+        c.at[rows, pos, :].set(new_k[l]) for l, c in enumerate(k_cache)
+    )
+    v_cache = tuple(
+        c.at[rows, pos, :].set(new_v[l]) for l, c in enumerate(v_cache)
+    )
     logits = x.astype(jnp.float32) @ params["fc_w"] + params["fc_b"]
     return logits, k_cache, v_cache
 
@@ -139,8 +175,8 @@ def service_decode_window(
     active: jnp.ndarray,        # (S,) bool
     key_pad: jnp.ndarray,       # (S, T) bool — PAD keys to mask (reference
                                 # rebuilds tgt_key_padding_mask each step)
-    k_cache: jnp.ndarray,       # (L, S, T, D) — donated, updated in place
-    v_cache: jnp.ndarray,
+    k_cache: tuple,             # L × (S, T, D) — donated, updated in place
+    v_cache: tuple,
     cross_const: jnp.ndarray,   # (L, S, D)
     end_id: jnp.ndarray,
     pad_id: jnp.ndarray,
@@ -171,7 +207,7 @@ def service_decode_window(
     reference's missing stochastic decoding.
     """
     cd = compute_dtype
-    t_max = k_cache.shape[2]
+    t_max = k_cache[0].shape[1]
     rows = jnp.arange(tokens.shape[0])
     outs = []
     for _ in range(n_steps):
@@ -212,8 +248,8 @@ def service_beam_window(
     pos: jnp.ndarray,           # (S,) int32 decode position per slot
     active: jnp.ndarray,        # (S,) bool
     key_pad: jnp.ndarray,       # (R, T) bool
-    k_cache: jnp.ndarray,       # (L, R, T, D) — donated, updated in place
-    v_cache: jnp.ndarray,
+    k_cache: tuple,             # L × (R, T, D) — donated, updated in place
+    v_cache: tuple,
     cross_const: jnp.ndarray,   # (L, R, D) — each slot's row repeated K×
     scores: jnp.ndarray,        # (S, K) fp32 total log-probability per beam
     finished: jnp.ndarray,      # (S, K) bool
@@ -245,7 +281,7 @@ def service_beam_window(
     k = beam_size
     r = tokens.shape[0]
     s_slots = r // k
-    t_max = k_cache.shape[2]
+    t_max = k_cache[0].shape[1]
     v = params["fc_b"].shape[0]
     rows = jnp.arange(r)
     slot_offset = (jnp.arange(s_slots) * k)[:, None]        # (S, 1)
@@ -271,8 +307,8 @@ def service_beam_window(
         # freeze inactive slots: identity gather, unchanged state
         gather = jnp.where(active[:, None], slot_offset + src_beam,
                            ident).reshape(-1)               # (R,)
-        k_cache = jnp.take(k_cache, gather, axis=1)
-        v_cache = jnp.take(v_cache, gather, axis=1)
+        k_cache = tuple(jnp.take(c, gather, axis=0) for c in k_cache)
+        v_cache = tuple(jnp.take(c, gather, axis=0) for c in v_cache)
         key_pad = jnp.take(key_pad, gather, axis=0)
         finished = jnp.where(
             active[:, None],
@@ -425,11 +461,15 @@ class CaptionService:
         L, d = cfg.num_layers, cfg.embed_dim
         # beam slots own K consecutive decoder rows; R = S (greedy/sample)
         self.R = num_slots * self.K
-        self.k_cache = self._shard(
-            jnp.zeros((L, self.R, self.T, d), compute_dtype), 1
+        # L per-layer (R, T, D) buffers, slot-sharded on dim 0 (see
+        # _one_token_logits for why the cache is split per layer)
+        self.k_cache = tuple(
+            self._shard(jnp.zeros((self.R, self.T, d), compute_dtype), 0)
+            for _ in range(L)
         )
-        self.v_cache = self._shard(
-            jnp.zeros((L, self.R, self.T, d), compute_dtype), 1
+        self.v_cache = tuple(
+            self._shard(jnp.zeros((self.R, self.T, d), compute_dtype), 0)
+            for _ in range(L)
         )
         self.cross = self._shard(
             jnp.zeros((L, self.R, d), jnp.float32), 1

@@ -5,12 +5,22 @@ prefix every step — O(T²) layer work per caption with no cache (reference
 model.py:219-242, flagged in its own comments). Here each step costs O(T)
 attention reads against a static-shape KV cache, jit-compiled once:
 
-- self-attention K/V live in a (L, B, T_max, D) cache updated in place
-  (functional ``.at[].set`` that XLA performs as an aliased dynamic-update).
+- self-attention K/V live in L per-layer (B, T_max, D) cache buffers.
   The layout keeps D=512 on the lane dimension — a per-head (..., hd=64)
   trailing dim would pad to the 128-lane tile and double every step's
   cache read bytes; heads split via a free reshape at the einsum instead
-  (same layout the serving step uses);
+  (same layout the serving step uses). Two properties make the per-step
+  cache traffic the ~2 new rows it should be instead of a full-cache copy
+  (measured on the B=1024/T=16 flagship step: 5.24 → 3.2-3.3 ms/step,
+  the same −40% the benchmarks/ab_decode_step.py `stale` ablation shows):
+  * per-layer buffers, not one (L, B, T, D) array — chaining L
+    DUS-then-read pairs through a single carried buffer makes XLA
+    materialize defensive whole-cache copies;
+  * each step attends over the STALE cache with a fresh-row correction
+    (the row at t == pos is recomputed from this step's K/V), and all L
+    scatters happen at the END of the step body — the DUS is then the
+    last consumer of each carried buffer, so XLA's while-loop aliasing
+    can update it in place;
 - the cross-attention contribution is precomputed ONCE per sequence: in CLS
   memory mode it is a per-layer constant vector (softmax over one key is 1 —
   same algebraic fast path as training), in full mode the memory K/V are
@@ -37,8 +47,8 @@ from mit_tpu.ops.positional import sinusoid_table
 class DecodeCache(NamedTuple):
     """Per-generation state reused across steps."""
 
-    k: jnp.ndarray                     # (L, B, T_max, D) self-attn keys
-    v: jnp.ndarray                     # (L, B, T_max, D) self-attn values
+    k: tuple                           # L × (B, T_max, D) self-attn keys
+    v: tuple                           # L × (B, T_max, D) self-attn values
     cross_const: Optional[jnp.ndarray]  # (L, B, D) CLS-mode constant, or None
     cross_k: Optional[jnp.ndarray]     # (L, B, H, S, hd) full-memory keys
     cross_v: Optional[jnp.ndarray]     # (L, B, H, S, hd) full-memory values
@@ -85,8 +95,8 @@ def init_cache(
             "silently clamp."
         )
 
-    k = jnp.zeros((L, b, t_max, d), cd)
-    v = jnp.zeros((L, b, t_max, d), cd)
+    k = tuple(jnp.zeros((b, t_max, d), cd) for _ in range(L))
+    v = tuple(jnp.zeros((b, t_max, d), cd) for _ in range(L))
 
     layers = params["layers"]
     mem = memory.astype(cd)
@@ -178,7 +188,7 @@ def decoder_step(
     d = cfg.embed_dim
     hd = d // h
     b = tokens.shape[0]
-    t_max = cache.k.shape[2]
+    t_max = cache.k[0].shape[1]
     lay = params["layers"]
 
     x = params["emb"][tokens] * jnp.asarray(math.sqrt(d), cd)
@@ -207,13 +217,22 @@ def decoder_step(
         madd = jnp.broadcast_to(
             jnp.where(visible, 0.0, NEG_INF)[:, 0, :], (b, t_max)
         ).astype(jnp.float32)
+        new_k, new_v = [], []
         for l in range(L):
+            # the kernel attends over the stale cache block internally
+            # (fresh-row correction at t == pos); scatters batch at the end
             x, k_new, v_new = fused_decode_layer(
                 x, pos, madd, k_cache[l], v_cache[l],
                 cache.cross_const[l], lay, l, h,
             )
-            k_cache = k_cache.at[l, :, pos, :].set(k_new)
-            v_cache = v_cache.at[l, :, pos, :].set(v_new)
+            new_k.append(k_new)
+            new_v.append(v_new)
+        k_cache = tuple(
+            c.at[:, pos, :].set(new_k[l]) for l, c in enumerate(k_cache)
+        )
+        v_cache = tuple(
+            c.at[:, pos, :].set(new_v[l]) for l, c in enumerate(v_cache)
+        )
         logits = jnp.dot(
             x, params["fc_w"].astype(cd), preferred_element_type=jnp.float32
         ) + params["fc_b"]
@@ -222,24 +241,39 @@ def decoder_step(
             cache.cross_v, cache.cross_mask,
         )
 
+    at_pos = (jnp.arange(t_max) == pos)[None, None, :]       # (1, 1, T)
+    new_k, new_v = [], []
     for l in range(L):
         qf, kf, vf = jnp.split(x @ lay["wqkv"][l] + lay["bqkv"][l], 3, axis=-1)
         q = _split_heads_1(qf, h)
-        # contiguous (B, D) slab write at the current position
-        k_cache = k_cache.at[l, :, pos, :].set(kf)
-        v_cache = v_cache.at[l, :, pos, :].set(vf)
+        new_k.append(kf)
+        new_v.append(vf)
+        # attend over the STALE cache; the row at t == pos is corrected
+        # from this step's fresh K/V below (see module docstring)
         k_l = k_cache[l].reshape(b, t_max, h, hd)
         v_l = v_cache[l].reshape(b, t_max, h, hd)
 
         scores = jnp.einsum(
             "bhe,bthe->bht", q, k_l, preferred_element_type=jnp.float32
         ) * scale
+        s_pos = (
+            qf.astype(jnp.float32) * kf.astype(jnp.float32)
+        ).reshape(b, h, hd).sum(-1) * scale                   # (B, H)
+        scores = jnp.where(at_pos, s_pos[:, :, None], scores)
         scores = jnp.where(visible, scores, NEG_INF)
+        # probs round to cd FIRST (as a cache-row read would) so the
+        # fresh-row split only reorders the f32 accumulation
         probs = jax.nn.softmax(scores, axis=-1).astype(cd)
+        p_pos = jnp.sum(
+            jnp.where(at_pos, probs, 0.0).astype(jnp.float32), -1
+        )                                                     # (B, H)
+        p_cache = jnp.where(at_pos, jnp.asarray(0.0, cd), probs)
         ctx = jnp.einsum(
-            "bht,bthe->bhe", probs, v_l, preferred_element_type=jnp.float32
-        ).astype(cd)
-        sa = ctx.reshape(b, d) @ lay["wo"][l] + lay["bo"][l]
+            "bht,bthe->bhe", p_cache, v_l,
+            preferred_element_type=jnp.float32,
+        )
+        ctx = ctx + p_pos[..., None] * vf.astype(jnp.float32).reshape(b, h, hd)
+        sa = ctx.astype(cd).reshape(b, d) @ lay["wo"][l] + lay["bo"][l]
         x = layer_norm(jax.tree.map(lambda a: a[l], lay["ln1"]), x + sa)
 
         # cross-attention
@@ -267,6 +301,14 @@ def decoder_step(
         y = y @ lay["w2"][l] + lay["b2"][l]
         x = layer_norm(jax.tree.map(lambda a: a[l], lay["ln3"]), x + y)
 
+    # all scatters at the END of the body: each carried buffer's last
+    # consumer is its own DUS → in-place while-loop aliasing, no copies
+    k_cache = tuple(
+        c.at[:, pos, :].set(new_k[l]) for l, c in enumerate(k_cache)
+    )
+    v_cache = tuple(
+        c.at[:, pos, :].set(new_v[l]) for l, c in enumerate(v_cache)
+    )
     logits = jnp.dot(
         x, params["fc_w"].astype(cd), preferred_element_type=jnp.float32
     ) + params["fc_b"]
@@ -279,18 +321,21 @@ def decoder_step(
 def grow_cache(cache: DecodeCache, bucket: int) -> DecodeCache:
     """Copy the self-attn K/V into a larger static T_max (ladder growth)."""
     grow = lambda a: (
-        jnp.zeros(a.shape[:2] + (bucket,) + a.shape[3:], a.dtype)
-        .at[:, :, : a.shape[2]].set(a)
+        jnp.zeros((a.shape[0], bucket) + a.shape[2:], a.dtype)
+        .at[:, : a.shape[1]].set(a)
     )
-    return cache._replace(k=grow(cache.k), v=grow(cache.v))
+    return cache._replace(
+        k=tuple(grow(a) for a in cache.k),
+        v=tuple(grow(a) for a in cache.v),
+    )
 
 
 def reindex_cache(cache: DecodeCache, idx: jnp.ndarray) -> DecodeCache:
-    """Gather batch rows (beam reordering): idx (B,) into dim 1 of k/v."""
+    """Gather batch rows (beam reordering): idx (B,) into the batch dim."""
     take = lambda a: None if a is None else jnp.take(a, idx, axis=1)
     return DecodeCache(
-        k=jnp.take(cache.k, idx, axis=1),
-        v=jnp.take(cache.v, idx, axis=1),
+        k=tuple(jnp.take(a, idx, axis=0) for a in cache.k),
+        v=tuple(jnp.take(a, idx, axis=0) for a in cache.v),
         cross_const=take(cache.cross_const),
         cross_k=take(cache.cross_k),
         cross_v=take(cache.cross_v),

@@ -67,6 +67,7 @@ def _decode_layer_kernel(
     ln1s, ln1b, ln2s, ln2b, ln3s, ln3b,
     w1, b1, w2, b2,                    # MLP weights
     xo_ref, knew_ref, vnew_ref,        # outputs: (BB, D) each
+    ctx_ref,                           # VMEM scratch (BB, D) f32
     *, heads: int, hd: int, eps: float, scale: float,
 ):
     bb, t, d = kc_ref.shape
@@ -83,28 +84,35 @@ def _decode_layer_kernel(
     knew_ref[:] = k_new.astype(knew_ref.dtype)
     vnew_ref[:] = v_new.astype(vnew_ref.dtype)
 
-    # scores over the cache block: broadcast-multiply, reduce each head's
-    # hd-chunk — (BB, T, H) on the VPU, no (M=H, N=T) batched matmuls
+    # Attention over the cache block, one head at a time: all operands are
+    # 2-D/3-D with the head's hd-wide LANE SLICE of the full D dimension —
+    # Mosaic cannot shape-cast (BB, T, D) → (BB, T, H, hd) (splitting the
+    # lane dim is an unsupported relayout on real TPUs; the earlier fused
+    # form compiled only in interpret mode), but static lane slices are
+    # cheap and the same pattern the int8 layer kernel uses.
     kc = kc_ref[:].astype(f32)                                   # (BB, T, D)
-    prod = q[:, None, :] * kc
-    scores = prod.reshape(bb, t, heads, hd).sum(-1) * scale      # (BB, T, H)
-    # fresh K at t == pos (the cache block still holds the stale row)
-    s_pos = (q * k_new).reshape(bb, heads, hd).sum(-1) * scale   # (BB, H)
-    tio = jax.lax.broadcasted_iota(jnp.int32, (bb, t, heads), 1)
-    at_pos = tio == pos_ref[:][:, :, None]                       # (BB, T, H)
-    scores = jnp.where(at_pos, s_pos[:, None, :], scores)
-    scores = scores + madd_ref[:][:, :, None]                    # mask (0/-inf)
-
-    m = jnp.max(scores, axis=1, keepdims=True)
-    p = jnp.exp(scores - m)                                      # (BB, T, H)
-    denom = jnp.sum(p, axis=1)                                   # (BB, H)
-    # context: cache rows except t == pos, plus the fresh V row
-    p_cache = jnp.where(at_pos, 0.0, p)
-    vc = vc_ref[:].astype(f32).reshape(bb, t, heads, hd)
-    ctx = jnp.sum(p_cache[..., None] * vc, axis=1)               # (BB, H, hd)
-    p_pos = jnp.sum(jnp.where(at_pos, p, 0.0), axis=1)           # (BB, H)
-    ctx = ctx + p_pos[..., None] * v_new.reshape(bb, heads, hd)
-    ctx = (ctx / denom[..., None]).reshape(bb, d)
+    vc = vc_ref[:].astype(f32)
+    at_pos = (
+        jax.lax.broadcasted_iota(jnp.int32, (bb, t), 1) == pos_ref[:]
+    )                                                            # (BB, T)
+    madd = madd_ref[:]
+    for hh in range(heads):
+        hs = slice(hh * hd, (hh + 1) * hd)
+        q_h = q[:, hs]                                           # (BB, hd)
+        s = jnp.sum(q_h[:, None, :] * kc[:, :, hs], -1) * scale  # (BB, T)
+        # fresh K at t == pos (the cache block still holds the stale row)
+        s_pos = jnp.sum(q_h * k_new[:, hs], -1, keepdims=True) * scale
+        s = jnp.where(at_pos, s_pos, s) + madd                   # (BB, T)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)                                       # (BB, T)
+        denom = jnp.sum(p, axis=1, keepdims=True)                # (BB, 1)
+        # context: cache rows except t == pos, plus the fresh V row
+        p_cache = jnp.where(at_pos, 0.0, p)
+        ctx_h = jnp.sum(p_cache[:, :, None] * vc[:, :, hs], 1)   # (BB, hd)
+        p_pos = jnp.sum(jnp.where(at_pos, p, 0.0), 1, keepdims=True)
+        ctx_h = ctx_h + p_pos * v_new[:, hs]
+        ctx_ref[:, hs] = ctx_h / denom
+    ctx = ctx_ref[:]
 
     sa = jax.lax.dot_general(
         ctx.astype(x_ref.dtype), wo[:], (((1,), (0,)), ((), ())),
@@ -200,6 +208,7 @@ def _impl(x, posv, madd, k_cache, v_cache, cross, *weights,
             jax.ShapeDtypeStruct((b, d), cd),
             jax.ShapeDtypeStruct((b, d), cd),
         ],
+        scratch_shapes=[pltpu.VMEM((bb, d), jnp.float32)],  # attn context
         interpret=interpret,
     )(x, posv, madd, k_cache, v_cache, cross, *weights)
 

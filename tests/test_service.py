@@ -135,7 +135,7 @@ def test_service_sharded_mesh_matches_unsharded(captioner):
     for a, b in zip(rids_ref, rids):
         assert expect[a] == got[b]
     # caches really live sharded across the mesh
-    assert not svc.k_cache.sharding.is_fully_replicated
+    assert not svc.k_cache[0].sharding.is_fully_replicated
 
 
 def test_service_mesh_slot_divisibility_enforced(captioner):
@@ -252,7 +252,7 @@ def test_service_beam_sharded_mesh_matches_unsharded(captioner):
     got = svc.run_to_completion()
     for a, b in zip(rids_ref, rids):
         assert expect[a] == got[b]
-    assert not svc.k_cache.sharding.is_fully_replicated
+    assert not svc.k_cache[0].sharding.is_fully_replicated
 
 
 # ---------------------------------------------------------------- sampling
