@@ -250,6 +250,35 @@ def main():
         dt = time.perf_counter() - t0
         return batch * iters / dt, np.asarray(lengths), dt
 
+    # Tunnel-health probes: the remote-tunnel platform's latency/throughput
+    # varies >2x day to day (round-3 observed spreads up to 71% on identical
+    # code). Recording a fixed reference workload alongside the pipeline
+    # numbers lets cross-day artifacts be read in context.
+    @jax.jit
+    def _probe_rtt(x):
+        return x + 1.0
+
+    @jax.jit
+    def _probe_gemm(a):
+        for _ in range(4):                      # dependent chain: no overlap
+            a = jnp.tanh(a @ a)
+        return a[0, 0]
+
+    n_ref = 512 if tiny else 2048
+    a_ref = jnp.ones((n_ref, n_ref), jnp.bfloat16) * 0.01
+    float(_probe_gemm(a_ref))                   # compile
+    float(_probe_rtt(jnp.zeros((1,), jnp.float32))[0])
+    rtts, gemms = [], []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(_probe_rtt(jnp.zeros((1,), jnp.float32))[0])
+        rtts.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(_probe_gemm(a_ref))
+        gemms.append(time.perf_counter() - t0)
+    tunnel_rtt_ms = 1e3 * float(np.median(rtts))
+    ref_gemm_ms = 1e3 * float(np.median(gemms))
+
     configs = {"bf16": trained, "worst": params, "int8": trained_q}
     # warmup/compile every config BEFORE any timing (one compile per params
     # dtype layout; all three share the bf16 executable except int8)
@@ -345,6 +374,12 @@ def main():
         "train_loss_after_prep": round(final_loss, 4),
         "mfu_bf16_pipeline": round(mfu, 4),
         "mfu_int8_pipeline": round(mfu_int8, 4),
+        # fixed-workload health probes (see comment above timed_pass):
+        # rtt ≈ dispatch+fetch round trip; ref_gemm ≈ a dependent 4-GEMM
+        # bf16 chain (2048^3, ~69 GFLOP ≈ 0.35 ms of MXU work at peak)
+        # + one rtt — both dominated by tunnel state, which is the point
+        "tunnel_rtt_ms": round(tunnel_rtt_ms, 2),
+        "ref_gemm_ms": round(ref_gemm_ms, 2),
     }
     if invariant_violation:
         out["invariant_violation"] = invariant_violation

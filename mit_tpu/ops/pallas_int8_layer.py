@@ -181,7 +181,13 @@ def layer_fits_vmem(t: int, d: int, f: int) -> bool:
     ViT-B (197, 768, 3072) → ~10.7 MB: fits. ViT-L (257, 1024, 4096) →
     ~18.9 MB: falls back to the split two-pass kernels.
 
-    Budget = 13/16 of device VMEM (the v5e-measured headroom, scaled)."""
+    Budget = 13/16 of device VMEM (the v5e-measured headroom, scaled).
+    d must fill the 128-lane tile: the kernel's (1, T, D) → (T, D)
+    reshape (and the pack-2 merge) is an unsupported Mosaic shape cast
+    when D pads the lane dim (observed at the tiny d=64 debug geometry;
+    real ViT widths are multiples of 128)."""
+    if d % 128 != 0:
+        return False
     weights = d * 3 * d + d * d + 2 * d * f
     acts = t * (4 * d + 5 * f)
     return weights + acts <= (13 * _vmem_bytes()) // 16
@@ -338,6 +344,8 @@ def split_fits_vmem(t: int, d: int, f: int) -> bool:
     # The estimate is conservative (the compiler reuses x/h/mid buffers);
     # ViT-L's MLP half computes to 15.0 MB and compiles + runs on v5e.
     # Budget = 15.5/16 of device VMEM (v5e-measured headroom, scaled).
+    if d % 128 != 0:           # lane-padded D: see layer_fits_vmem
+        return False
     mlp = 2 * d * f + t * (8 * d + 5 * f)
     attn = 3 * d * d + d * d + t * (4 * d + 2 * 3 * d + 4 * d + 4 * t)
     return max(mlp, attn) <= (155 * _vmem_bytes()) // 160
