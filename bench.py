@@ -238,13 +238,20 @@ def main():
         (rep*iters + i) so no two dispatches in the whole run share
         identical (executable, args) — rolling by the within-pass index
         alone would let later reps replay rep 1's exact dispatches, which
-        the tunnel can serve from its result cache."""
+        the tunnel can serve from its result cache. The roll shift is
+        kept in [1, batch-1] (shift ≡ 0 mod batch would reproduce the
+        warmup dispatch byte-for-byte, e.g. tiny mode's batch=8 with
+        reps*iters >= 8); on wraparound one pixel is stamped with the
+        wrap count so the args stay globally unique."""
         t0 = time.perf_counter()
         acc = jnp.zeros((), jnp.int32)
         for i in range(iters):
-            tokens, lengths = caption_kernel(
-                p, jnp.roll(images, rep * iters + i + 1, axis=0)
-            )
+            g = rep * iters + i
+            imgs = jnp.roll(images, g % (batch - 1) + 1, axis=0)
+            wrap = g // (batch - 1)
+            if wrap:
+                imgs = imgs.at[0, 0, 0, 0].set(wrap % 256)
+            tokens, lengths = caption_kernel(p, imgs)
             acc = acc + jnp.sum(tokens)
         int(acc)  # host fetch: completes only after every iteration ran
         dt = time.perf_counter() - t0

@@ -157,7 +157,12 @@ def _one_token_logits(params, cfg, tokens, pos, key_pad, k_cache, v_cache,
     v_cache = tuple(
         c.at[rows, pos, :].set(new_v[l]) for l, c in enumerate(v_cache)
     )
-    logits = x.astype(jnp.float32) @ params["fc_w"] + params["fc_b"]
+    # compute-dtype operands + f32 accumulation — same lowering as the
+    # batch decoder_step, so service and batch argmax identically on ties
+    logits = jnp.dot(
+        x.astype(cd), params["fc_w"].astype(cd),
+        preferred_element_type=jnp.float32,
+    ) + params["fc_b"]
     return logits, k_cache, v_cache
 
 

@@ -143,16 +143,22 @@ def _batch_block(b: int, t: int, d: int, f: int, itemsize: int) -> int:
     same device-derived budget the int8 layer kernels use."""
     from mit_tpu.ops.pallas_int8_layer import _vmem_bytes
 
+    if d % 128 != 0:
+        # lane-padded D: the kernel's per-head lane slices and (BB, T, D)
+        # blocks relayout on real TPUs when D pads the 128-lane tile (same
+        # Mosaic constraint the int8 layer kernels gate on — observed at
+        # the tiny d=64 debug geometry). Fall back to the XLA step.
+        return 0
     weights = (4 * d * d + 2 * d * f) * itemsize
     budget = (13 * _vmem_bytes()) // 16
     for bb in (512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
         if b % bb != 0:
             continue
         caches = 2 * 2 * bb * t * d * itemsize        # k+v, double-buffered
-        # the kernel's largest live intermediate is an f32 (BB, T, D)
-        # (the cache cast / q*k product); count one full copy — Mosaic
-        # fuses the elementwise chain but the compiler may still hold one
-        f32_attn = 4 * bb * t * d
+        # the kernel holds BOTH f32 cache casts (kc and vc) live across
+        # the per-head loop, plus the fused q*k elementwise chain; budget
+        # two full (BB, T, D) f32 copies
+        f32_attn = 2 * 4 * bb * t * d
         acts = bb * (3 * d + t + f) * 4 * 2           # f32 stream, headroom
         if weights + caches + f32_attn + acts <= budget:
             return bb
@@ -229,11 +235,19 @@ def _make_partitioned(statics):
         return impl(*arrs)
 
     def _batch_axis(arg_shapes):
-        try:
-            spec = arg_shapes[0].sharding.spec
-        except AttributeError:
-            return None
-        return spec[0] if len(spec) > 0 else None
+        # Scan the batched operands, CACHES FIRST: in the sharded service
+        # x derives from replicated tokens (emb lookup), so its propagated
+        # spec can be unsharded while the donated K/V cache blocks carry
+        # the authoritative P('data') slot-row sharding. Inferring from
+        # x alone would resolve the whole kernel to replicated compute.
+        for i in (3, 4, 0, 5, 2, 1):
+            try:
+                spec = arg_shapes[i].sharding.spec
+            except AttributeError:
+                continue
+            if len(spec) > 0 and spec[0] is not None:
+                return spec[0]
+        return None
 
     def infer_sharding(mesh, arg_shapes, result_shape):
         out = NamedSharding(mesh, P(_batch_axis(arg_shapes), None))
