@@ -1,15 +1,26 @@
 """Isolate where the int8 whole-layer mega-kernel's time goes (ViT-B,
-B=1024, pack-2): same-run A/B of kernel variants.
+B=1024): same-run A/B of kernel variants.
 
-  v0_current    the production kernel (per-head 64-lane-slice attention)
-  v1_noattn     attention replaced by an identity (ctx = q columns) —
-                everything else identical; v0 - v1 = in-kernel attention
-  v2_bf16qkv    per-head attention with bf16 score inputs (no f32 casts)
-  v3_batched    per-image attention via ONE batched dot_general over heads
-                (relayout once instead of 3 slices x 12 heads)
+  current     the production kernel (NPACK=2, per-head 64-lane-slice
+              attention, f32 ctx scratch, f32 MLP mid)
+  noattn      attention replaced by identity (ctx = q columns) —
+              current - noattn = in-kernel attention cost
+  exp2        softmax exp as exp2((s-m)*log2e)
+  bf16ctx     ctx scratch stored bf16 (halves scratch traffic)
+  concat      per-head outputs concatenated in registers, ONE ctx store
+              per image instead of 12 64-lane-wide stores
+  bf16mid     MLP dequant/GELU/requant chain in bf16 (halves VPU
+              elementwise + hidden VMEM traffic)
+  npack4      current with 4 images per grid instance (better int8 GEMM
+              M-padding: 788 rows pad ~12% vs 394's ~23%)
+  trans       per-image transposed-head attention: ONE batched
+              dot_general over all 12 heads in (H, HD, T) layout
+              (major-dim reshape — supported — instead of the
+              unsupported (T, D)->(T, H, HD) lane split)
 
-Each variant is timed as 12 scanned layer applications (like the encoder)
-with a dependent fetch, median of reps, interleaved.
+Each variant times 12 scanned layer applications (like the encoder)
+with a dependent fetch, median of reps, interleaved. Variants that
+fail to compile are reported and skipped.
 """
 import sys, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -27,11 +38,12 @@ from jax.experimental.pallas import tpu as pltpu
 from mit_tpu.models.vision import (config_for_encoder, init_vision_params,
                                    quantize_vision_params)
 from mit_tpu.ops.pallas_int8_layer import _flat_args, _ln, _dq, _mlp_body
-from mit_tpu.ops.pallas_int8_mlp import _quantize_rows
+from mit_tpu.ops.pallas_int8_mlp import _quantize_rows, _gelu
 
 B = int(os.environ.get("AB_BATCH", 1024))
 LAYERS = 12
 REPS = int(os.environ.get("AB_REPS", 3))
+ONLY = os.environ.get("AB_ONLY", "").split(",") if os.environ.get("AB_ONLY") else None
 
 cfg = config_for_encoder("google/vit-base-patch16-224-in21k")
 params = init_vision_params(jax.random.PRNGKey(0), cfg)
@@ -40,13 +52,32 @@ lay = jax.tree.map(lambda a: a[0], qp["layers"])
 T, D, F = cfg.seq_len, cfg.hidden_size, cfg.intermediate_size
 HEADS, HD = cfg.num_heads, D // cfg.num_heads
 EPS = cfg.layer_norm_eps
-NPACK = 2
+LOG2E = 1.4426950408889634
 
 
-def make_kernel(attn_mode):
+def _mlp_body_bf16(x, ln2_s, ln2_b, w1, s1, b1, w2, s2, b2):
+    h = _ln(x, ln2_s[0, :][None, :], ln2_b[0, :][None, :], EPS)
+    h8, sh = _quantize_rows(h)
+    mid = _dq(
+        jax.lax.dot_general(h8, w1[:], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32),
+        sh, s1, b1,
+    ).astype(jnp.bfloat16)
+    mid = _gelu(mid)
+    m8, sm = _quantize_rows(mid.astype(jnp.float32))
+    return x + _dq(
+        jax.lax.dot_general(m8, w2[:], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32),
+        sm, s2, b2,
+    )
+
+
+def make_kernel(mode, npack):
+    exp = (lambda s: jnp.exp2(s * LOG2E)) if mode == "exp2" else jnp.exp
+
     def _attn(x, ln1_s, ln1_b, wqkv, sqkv, bqkv, wo, so, bo, ctx_ref):
         d = D
-        t = x.shape[0] // NPACK
+        t = x.shape[0] // npack
         h = _ln(x, ln1_s[0, :][None, :], ln1_b[0, :][None, :], EPS)
         h8, sh = _quantize_rows(h)
         qkv = _dq(
@@ -55,12 +86,92 @@ def make_kernel(attn_mode):
             sh, sqkv, bqkv,
         ).astype(jnp.bfloat16)
         scale = 1.0 / math.sqrt(HD)
-        if attn_mode == "noattn":
-            ctx_ref[:] = qkv[:, :d].astype(jnp.float32)
-        elif attn_mode in ("current", "bf16qkv"):
-            cast = (lambda a: a.astype(jnp.float32)) if attn_mode == "current" \
-                else (lambda a: a)
-            for im in range(NPACK):
+        if mode == "noattn":
+            ctx_ref[:] = qkv[:, :d].astype(ctx_ref.dtype)
+        elif mode in ("trans", "trans_bf16s"):
+            cast = (lambda a: a) if mode == "trans_bf16s" else (
+                lambda a: a.astype(jnp.float32))
+            for im in range(npack):
+                rs = slice(im * t, (im + 1) * t)
+                qkvT = qkv[rs].T.reshape(3 * HEADS, HD, t)   # (36, 64, T)
+                q = qkvT[:HEADS]
+                k = qkvT[HEADS:2 * HEADS]
+                v = qkvT[2 * HEADS:]
+                scores = jax.lax.dot_general(
+                    cast(q), cast(k),
+                    (((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ) * scale                                     # (H, T, T)
+                m = jnp.max(scores, axis=2, keepdims=True)
+                p = exp(scores - m)
+                o = jax.lax.dot_general(
+                    v, p.astype(jnp.bfloat16),
+                    (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )                                             # (H, HD, T)
+                o = o / jnp.sum(p, axis=2)[:, None, :]
+                ctx_ref[rs, :] = o.reshape(D, t).T.astype(ctx_ref.dtype)
+        elif mode == "transctx":
+            # transposed out-proj too: quantize ctxT along sublanes, GEMM
+            # contracts lhs dim 0 — the ctx never transposes back
+            outs = []
+            for im in range(npack):
+                rs = slice(im * t, (im + 1) * t)
+                qkvT = qkv[rs].T.reshape(3 * HEADS, HD, t)
+                q = qkvT[:HEADS]
+                k = qkvT[HEADS:2 * HEADS]
+                v = qkvT[2 * HEADS:]
+                scores = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ) * scale
+                m = jnp.max(scores, axis=2, keepdims=True)
+                p = exp(scores - m)
+                o = jax.lax.dot_general(
+                    v, p.astype(jnp.bfloat16),
+                    (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+                ctxT = (o / jnp.sum(p, axis=2)[:, None, :]).reshape(D, t)
+                amax = jnp.max(jnp.abs(ctxT), axis=0, keepdims=True)
+                sc = jnp.maximum(amax, 1e-8) / 127.0          # (1, T)
+                c8 = jnp.clip(jnp.round(ctxT / sc), -127, 127
+                              ).astype(jnp.int8)
+                acc = jax.lax.dot_general(
+                    c8, wo[:], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )                                             # (T, D)
+                outs.append(acc.astype(jnp.float32) * (
+                    sc.T * so[0, :][None, :]) + bo[0, :][None, :])
+            return x + (outs[0] if npack == 1 else
+                        jnp.concatenate(outs, axis=0))
+        elif mode == "concat":
+            for im in range(npack):
+                rs = slice(im * t, (im + 1) * t)
+                qkv_i = qkv[rs]
+                outs = []
+                for hh in range(HEADS):
+                    qs = slice(hh * HD, (hh + 1) * HD)
+                    ks = slice(d + hh * HD, d + (hh + 1) * HD)
+                    vs = slice(2 * d + hh * HD, 2 * d + (hh + 1) * HD)
+                    scores = jax.lax.dot_general(
+                        qkv_i[:, qs].astype(jnp.float32),
+                        qkv_i[:, ks].astype(jnp.float32),
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ) * scale
+                    m = jnp.max(scores, axis=1, keepdims=True)
+                    p = exp(scores - m)
+                    o = jax.lax.dot_general(
+                        p.astype(jnp.bfloat16), qkv_i[:, vs],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    outs.append(o / jnp.sum(p, axis=1, keepdims=True))
+                ctx_ref[rs, :] = jnp.concatenate(outs, axis=1).astype(
+                    ctx_ref.dtype)
+        else:   # current / exp2 / bf16ctx / bf16mid / npack4
+            for im in range(npack):
                 rs = slice(im * t, (im + 1) * t)
                 qkv_i = qkv[rs]
                 for hh in range(HEADS):
@@ -68,40 +179,22 @@ def make_kernel(attn_mode):
                     ks = slice(d + hh * HD, d + (hh + 1) * HD)
                     vs = slice(2 * d + hh * HD, 2 * d + (hh + 1) * HD)
                     scores = jax.lax.dot_general(
-                        cast(qkv_i[:, qs]), cast(qkv_i[:, ks]),
+                        qkv_i[:, qs].astype(jnp.float32),
+                        qkv_i[:, ks].astype(jnp.float32),
                         (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     ) * scale
                     m = jnp.max(scores, axis=1, keepdims=True)
-                    p = jnp.exp(scores - m)
+                    p = exp(scores - m)
                     o = jax.lax.dot_general(
                         p.astype(jnp.bfloat16), qkv_i[:, vs],
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
-                    ctx_ref[rs, qs] = o / jnp.sum(p, axis=1, keepdims=True)
-        elif attn_mode == "batched":
-            for im in range(NPACK):
-                rs = slice(im * t, (im + 1) * t)
-                qkv_i = qkv[rs]
-                qh = qkv_i[:, :d].reshape(t, HEADS, HD).transpose(1, 0, 2)
-                kh = qkv_i[:, d:2 * d].reshape(t, HEADS, HD).transpose(1, 0, 2)
-                vh = qkv_i[:, 2 * d:].reshape(t, HEADS, HD).transpose(1, 0, 2)
-                scores = jax.lax.dot_general(
-                    qh.astype(jnp.float32), kh.astype(jnp.float32),
-                    (((2,), (2,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32,
-                ) * scale                                  # (H, T, T)
-                m = jnp.max(scores, axis=2, keepdims=True)
-                p = jnp.exp(scores - m)
-                o = jax.lax.dot_general(
-                    p.astype(jnp.bfloat16), vh,
-                    (((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32,
-                )                                          # (H, T, HD)
-                o = o / jnp.sum(p, axis=2, keepdims=True)
-                ctx_ref[rs, :] = o.transpose(1, 0, 2).reshape(t, d)
-        c8, sc = _quantize_rows(ctx_ref[:])
+                    ctx_ref[rs, qs] = (
+                        o / jnp.sum(p, axis=1, keepdims=True)
+                    ).astype(ctx_ref.dtype)
+        c8, sc = _quantize_rows(ctx_ref[:].astype(jnp.float32))
         return x + _dq(
             jax.lax.dot_general(c8, wo[:], (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.int32),
@@ -113,14 +206,18 @@ def make_kernel(attn_mode):
         npk, t, d = x_ref.shape
         x = x_ref[:].reshape(npk * t, d).astype(jnp.float32)
         x = _attn(x, ln1_s, ln1_b, wqkv, sqkv, bqkv, wo, so, bo, ctx_ref)
-        x = _mlp_body(x, ln2_s, ln2_b, w1, s1, b1, w2, s2, b2, EPS, "gelu")
+        if mode == "bf16mid":
+            x = _mlp_body_bf16(x, ln2_s, ln2_b, w1, s1, b1, w2, s2, b2)
+        else:
+            x = _mlp_body(x, ln2_s, ln2_b, w1, s1, b1, w2, s2, b2, EPS,
+                          "gelu")
         o_ref[:] = x.reshape(npk, t, d).astype(o_ref.dtype)
 
     return kern
 
 
-def make_layer_fn(attn_mode):
-    kern = make_kernel(attn_mode)
+def make_layer_fn(mode, npack, ctx_dtype):
+    kern = make_kernel(mode, npack)
     row = lambda n: pl.BlockSpec((1, n), lambda i: (0, 0),
                                  memory_space=pltpu.VMEM)
     wspec = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
@@ -129,9 +226,9 @@ def make_layer_fn(attn_mode):
     def apply(x, *arrs):
         return pl.pallas_call(
             kern,
-            grid=(B // NPACK,),
+            grid=(B // npack,),
             in_specs=[
-                pl.BlockSpec((NPACK, T, D), lambda i: (i, 0, 0),
+                pl.BlockSpec((npack, T, D), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
                 row(D), row(D),
                 wspec((D, 3 * D)), row(3 * D), row(3 * D),
@@ -140,10 +237,10 @@ def make_layer_fn(attn_mode):
                 wspec((D, F)), row(F), row(F),
                 wspec((F, D)), row(D), row(D),
             ],
-            out_specs=pl.BlockSpec((NPACK, T, D), lambda i: (i, 0, 0),
+            out_specs=pl.BlockSpec((npack, T, D), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((B, T, D), x.dtype),
-            scratch_shapes=[pltpu.VMEM((NPACK * T, D), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((npack * T, D), ctx_dtype)],
         )(x, *arrs)
 
     return apply
@@ -152,9 +249,27 @@ def make_layer_fn(attn_mode):
 arrs = _flat_args(lay["ln1"], lay["attn"]["qkv"], lay["attn"]["o"],
                   lay["ln2"], lay["fc1"], lay["fc2"])
 
+SPECS = {
+    "current": ("current", 2, jnp.float32),
+    "noattn": ("noattn", 2, jnp.float32),
+    "exp2": ("exp2", 2, jnp.float32),
+    "bf16ctx": ("current", 2, jnp.bfloat16),
+    "concat": ("concat", 2, jnp.float32),
+    "bf16mid": ("bf16mid", 2, jnp.float32),
+    "npack4": ("current", 4, jnp.float32),
+    "trans": ("trans", 2, jnp.float32),
+    "trans_bf16ctx": ("trans", 2, jnp.bfloat16),
+    "trans_bf16s": ("trans_bf16s", 2, jnp.float32),
+    "trans1_bf16s": ("trans_bf16s", 1, jnp.float32),
+    "transctx": ("transctx", 2, jnp.float32),
+    "transctx1": ("transctx", 1, jnp.float32),
+}
+
 variants = {}
-for mode in ("current", "noattn", "bf16qkv", "batched"):
-    f = make_layer_fn(mode)
+for name, (mode, npack, cdt) in SPECS.items():
+    if ONLY and name not in ONLY:
+        continue
+    f = make_layer_fn(mode, npack, cdt)
 
     @jax.jit
     def run(key, _f=f):
@@ -165,18 +280,21 @@ for mode in ("current", "noattn", "bf16qkv", "batched"):
         c, _ = jax.lax.scan(body, jnp.bfloat16(0), None, length=LAYERS)
         return c
 
-    variants[mode] = run
+    variants[name] = run
 
-for name, run in variants.items():
+vals = {}
+for name, run in list(variants.items()):
     t0 = time.perf_counter()
     try:
-        np.asarray(run(jax.random.PRNGKey(0)))
-        print(f"compile {name}: {time.perf_counter()-t0:.1f}s", flush=True)
+        vals[name] = float(np.asarray(run(jax.random.PRNGKey(0))))
+        print(f"compile {name}: {time.perf_counter()-t0:.1f}s "
+              f"(val {vals[name]:.4f})", flush=True)
     except Exception as e:
-        print(f"compile {name}: FAILED {type(e).__name__}: {e}", flush=True)
-        variants[name] = None
+        msg = str(e).split("\n")[0][:140]
+        print(f"compile {name}: FAILED {type(e).__name__}: {msg}", flush=True)
+        del variants[name]
 
-results = {k: [] for k, v in variants.items() if v is not None}
+results = {k: [] for k in variants}
 for rep in range(1, REPS + 1):
     for name in results:
         t0 = time.perf_counter()
@@ -186,5 +304,5 @@ for rep in range(1, REPS + 1):
 print()
 for name, xs in results.items():
     ms = 1e3 * float(np.median(xs))
-    print(f"{name:10s} {ms:7.2f} ms/layer  "
+    print(f"{name:14s} {ms:7.2f} ms/layer  "
           f"(reps: {['%.2f' % (1e3*x) for x in xs]})", flush=True)
