@@ -53,6 +53,19 @@ def _dq(acc, sx, s_ref, b_ref):
 
 
 
+def _attn_heads_per_chunk(heads: int, t: int) -> int:
+    """Heads per batched-attention dot_general. All heads at once when the
+    (hc, T, T) f32 scores stay under ~2.5 MB (ViT-B: 12 heads, one chunk);
+    otherwise the largest divisor of ``heads`` that fits (ViT-L in the
+    split kernel: 16 heads, T=257 → chunks of 8) so the scores buffer
+    can't blow the VMEM budget the fit-checks promised."""
+    budget = (5 * 1024 * 1024) // 2
+    cap = max(1, budget // (t * t * 4))
+    if cap >= heads:
+        return heads
+    return max(c for c in range(1, cap + 1) if heads % c == 0)
+
+
 def _attn_body(x, ln1_s, ln1_b, wqkv, sqkv, bqkv, wo, so, bo, ctx_ref,
                heads, hd, eps, npack=1):
     """Attention sublayer on an (npack·T, D) f32 residual stream.
@@ -60,7 +73,17 @@ def _attn_body(x, ln1_s, ln1_b, wqkv, sqkv, bqkv, wo, so, bo, ctx_ref,
     ``npack`` images share the LN/GEMM passes (better MXU M-padding:
     197 rows pad ~14%, 394 pad ~6%) but attend strictly within their own
     T-row block — per-image softmax chains are mutually independent, which
-    also hands the scheduler VPU/MXU overlap freedom across images."""
+    also hands the scheduler VPU/MXU overlap freedom across images.
+
+    Per image, attention runs in the transposed-head layout: one
+    (t, 3D) → (3D, t) transpose, a major-dim reshape to (3·heads, hd, t),
+    then ONE batched dot_general over all heads for scores and one for
+    P·V — instead of 3 lane-slices + 2 GEMMs per head. Measured (ViT-B,
+    B=1024, 12 scanned layers, same-run A/B in benchmarks/
+    ab_mega_variants.py): 19.4 → 18.0 ms/layer; bf16 score inputs and a
+    fully-transposed out-proj both measured slower, so scores keep f32
+    inputs. Heads are chunked only when the (heads, t, t) f32 scores
+    would not fit VMEM (ViT-L split kernel)."""
     d = heads * hd
     t = x.shape[0] // npack
     h = _ln(x, ln1_s[0, :][None, :], ln1_b[0, :][None, :], eps)
@@ -71,25 +94,29 @@ def _attn_body(x, ln1_s, ln1_b, wqkv, sqkv, bqkv, wo, so, bo, ctx_ref,
         sh, sqkv, bqkv,
     ).astype(jnp.bfloat16)
     scale = 1.0 / math.sqrt(hd)
+    hc = _attn_heads_per_chunk(heads, t)
     for im in range(npack):
         rs = slice(im * t, (im + 1) * t)
-        qkv_i = qkv[rs]
-        for hh in range(heads):
-            qs = slice(hh * hd, (hh + 1) * hd)
-            ks = slice(d + hh * hd, d + (hh + 1) * hd)
-            vs = slice(2 * d + hh * hd, 2 * d + (hh + 1) * hd)
+        qkv_t = qkv[rs].T.reshape(3 * heads, hd, t)
+        for h0 in range(0, heads, hc):
+            cs = slice(h0, h0 + hc)
+            q = qkv_t[cs]
+            k = qkv_t[heads + h0:heads + h0 + hc]
+            v = qkv_t[2 * heads + h0:2 * heads + h0 + hc]
             scores = jax.lax.dot_general(
-                qkv_i[:, qs].astype(jnp.float32),
-                qkv_i[:, ks].astype(jnp.float32),
-                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-            ) * scale
-            m = jnp.max(scores, axis=1, keepdims=True)
+                q.astype(jnp.float32), k.astype(jnp.float32),
+                (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * scale                                       # (hc, tq, tk)
+            m = jnp.max(scores, axis=2, keepdims=True)
             p = jnp.exp(scores - m)
             o = jax.lax.dot_general(
-                p.astype(jnp.bfloat16), qkv_i[:, vs],
-                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            )
-            ctx_ref[rs, qs] = o / jnp.sum(p, axis=1, keepdims=True)
+                v, p.astype(jnp.bfloat16),
+                (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )                                               # (hc, hd, tq)
+            o = o / jnp.sum(p, axis=2)[:, None, :]
+            ctx_ref[rs, h0 * hd:(h0 + hc) * hd] = o.reshape(hc * hd, t).T
     c8, sc = _quantize_rows(ctx_ref[:])
     return x + _dq(
         jax.lax.dot_general(c8, wo[:], (((1,), (0,)), ((), ())),
