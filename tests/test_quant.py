@@ -170,6 +170,22 @@ def test_vmem_fit_dispatch():
     assert split_fits_vmem(257, 1024, 4096)
 
 
+def test_attn_heads_per_chunk():
+    """Batched-attention head chunking: all heads at once when the
+    (H, T, T) f32 scores fit the scoped budget, else the largest divisor
+    of H that does — never zero, always dividing H exactly."""
+    from mit_tpu.ops.pallas_int8_layer import _attn_heads_per_chunk
+
+    assert _attn_heads_per_chunk(12, 197) == 12        # ViT-B: one chunk
+    hc = _attn_heads_per_chunk(16, 257)                # ViT-L split kernel
+    assert 16 % hc == 0 and hc < 16                    # chunked, divides H
+    assert hc * 257 * 257 * 4 <= (5 * 1024 * 1024) // 2
+    for heads in (1, 3, 7, 12, 16, 24):
+        for t in (8, 128, 197, 257, 1024):
+            hc = _attn_heads_per_chunk(heads, t)
+            assert 1 <= hc <= heads and heads % hc == 0
+
+
 def test_int8_clip_family(pixels):
     """ln_pre / quick_gelu / no-patch-bias variant runs and tracks float,
     on both the XLA composition and the fused-kernel (interpret) path."""
