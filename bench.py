@@ -252,8 +252,9 @@ def main():
         acc = jnp.zeros((), jnp.int32)
         for i in range(iters):
             g = rep * iters + i
-            imgs = jnp.roll(images, g % (batch - 1) + 1, axis=0)
-            wrap = g // (batch - 1)
+            span = max(batch - 1, 1)   # batch=1: roll is identity, the wrap
+            imgs = jnp.roll(images, g % span + 1, axis=0)  # stamp de-dups
+            wrap = g // span
             if wrap:
                 imgs = imgs.at[0, 0, 0, 0].set(wrap % 256)
             tokens, lengths = caption_kernel(p, imgs)

@@ -108,6 +108,14 @@ def _one_token_logits(params, cfg, tokens, pos, key_pad, k_cache, v_cache,
         ) + params["fc_b"]
         return logits, k_cache, v_cache
 
+    # NOTE: this stale-attend fresh-row-correction attention is the per-row-
+    # position twin of the scalar-pos batch step in decode/step.py
+    # (decoder_step) — the two must stay BIT-IDENTICAL in op order and
+    # rounding (probs cast to cd before the P·V einsum, f32 score/ctx
+    # accumulation) or the service-vs-batch token-identity contract breaks;
+    # tests/test_service.py pins it, and any numerics change here must be
+    # mirrored there (and vice versa). They stay separate because the batch
+    # step's scalar pos admits dynamic-slice reads the per-row gather can't.
     at_pos = jnp.arange(t_max)[None, None, :] == pos[:, None, None]  # (S,1,T)
     new_k, new_v = [], []
     for l in range(L):

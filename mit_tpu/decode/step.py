@@ -160,6 +160,24 @@ def prepare_decode_params(params: dict, compute_dtype=jnp.float32) -> dict:
     }
 
 
+def set_fused_decode(enabled: bool) -> None:
+    """Toggle the fused Pallas decode-layer kernel mid-process.
+
+    ``MIT_FUSED_DECODE`` is read at *trace* time inside jitted decode
+    functions, so flipping the env var after any decode has been traced
+    silently has no effect on already-compiled shapes (jit executable
+    caching) — a process could serve a mix of fused and XLA paths with no
+    warning. This helper is the supported toggle: it sets the env var AND
+    drops the jit caches so every path retraces under the new setting.
+    Setting the env var before the first decode needs no helper.
+    """
+    if enabled:
+        os.environ["MIT_FUSED_DECODE"] = "1"
+    else:
+        os.environ.pop("MIT_FUSED_DECODE", None)
+    jax.clear_caches()
+
+
 def decoder_step(
     params: dict,
     cfg: DecoderConfig,
@@ -241,6 +259,12 @@ def decoder_step(
             cache.cross_v, cache.cross_mask,
         )
 
+    # NOTE: this block is the scalar-pos twin of the serving step's per-row-
+    # position attention (decode/service.py _one_token_logits) — op order
+    # and rounding must stay BIT-IDENTICAL between the two (probs cast to cd
+    # before P·V, f32 score/ctx accumulation) or the service-vs-batch
+    # token-identity contract breaks; tests/test_service.py pins it. Mirror
+    # any numerics change in both places.
     at_pos = (jnp.arange(t_max) == pos)[None, None, :]       # (1, 1, T)
     new_k, new_v = [], []
     for l in range(L):

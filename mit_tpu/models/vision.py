@@ -446,14 +446,30 @@ def vision_forward_int8(
         return x + fused_int8_mlp(h, layer["fc1"], layer["fc2"], mlp_act, cd)
 
     from mit_tpu.ops.pallas_int8_layer import (
+        _mega_pack,
         fused_int8_vit_layer,
         fused_int8_vit_layer_split,
+        kernel_compiles,
         layer_fits_vmem,
         split_fits_vmem,
     )
+    from mit_tpu.ops.pallas_attention import on_tpu
 
     geom = (cfg.seq_len, d, cfg.intermediate_size)
-    if use_pallas and layer_fits_vmem(*geom):
+
+    def _compiles(kind):
+        # On a real TPU, settle near-VMEM-budget geometries by actually
+        # AOT-compiling the kernel (cached); the static fit estimates can't
+        # see compiler buffer reuse. Interpret mode (tests) keeps
+        # estimate-only dispatch — there is no Mosaic compile to probe.
+        if not on_tpu():
+            return True
+        t, dd, f = geom
+        pb = _mega_pack(b, t, dd, f) if kind == "mega" else 1
+        return kernel_compiles(kind, pb, t, dd, f, cfg.num_heads, eps,
+                               mlp_act, jnp.dtype(cd).name)
+
+    if use_pallas and layer_fits_vmem(*geom) and _compiles("mega"):
         # Whole-layer mega-kernel (ops/pallas_int8_layer.py): LN1 → QKV →
         # attention → out-proj → LN2 → MLP in ONE VMEM pass — int8 weights
         # (7.1 MB/layer at ViT-B) stay resident, activations never touch
@@ -464,7 +480,7 @@ def vision_forward_int8(
                 layer["ln2"], layer["fc1"], layer["fc2"],
                 num_heads=cfg.num_heads, eps=eps, act=mlp_act,
             ), None
-    elif use_pallas and split_fits_vmem(*geom):
+    elif use_pallas and split_fits_vmem(*geom) and _compiles("split"):
         # ViT-L-class geometry: two half-layer kernels (attention, MLP),
         # each with its weights resident; only the residual stream x
         # round-trips HBM between them.

@@ -322,6 +322,45 @@ def _make_partitioned(statics):
     return fwd
 
 
+@functools.lru_cache(maxsize=64)
+def kernel_compiles(kind: str, b: int, t: int, d: int, f: int, heads: int,
+                    eps: float, act: str, dtype_name: str) -> bool:
+    """AOT-compile the selected fused kernel at this exact geometry on the
+    real backend before dispatch commits to it.
+
+    The static VMEM-fit estimates (:func:`layer_fits_vmem` /
+    :func:`split_fits_vmem`) cannot see compiler buffer reuse — they are
+    calibrated rankings, not guarantees — and the batched-head attention
+    adds an (hc, t, t) f32 scores buffer they do not count. For a
+    near-budget geometry the honest arbiter is the compiler itself: probe
+    once per geometry (lru-cached in-process; the persistent jax
+    compilation cache makes re-probes cheap across processes) and fall to
+    the next dispatch tier on failure instead of dying with a Mosaic
+    scoped-memory error at the first real call (ADVICE r2).
+
+    Only meaningful on a real TPU backend — interpret-mode callers skip it.
+    """
+    impl = {"mega": _mega_impl, "split": _split_impl}[kind]
+    sds = jax.ShapeDtypeStruct
+    f32, i8 = jnp.float32, jnp.int8
+    x = sds((b, t, d), jnp.dtype(dtype_name))
+    args = (
+        sds((1, d), f32), sds((1, d), f32),
+        sds((d, 3 * d), i8), sds((1, 3 * d), f32), sds((1, 3 * d), f32),
+        sds((d, d), i8), sds((1, d), f32), sds((1, d), f32),
+        sds((1, d), f32), sds((1, d), f32),
+        sds((d, f), i8), sds((1, f), f32), sds((1, f), f32),
+        sds((f, d), i8), sds((1, d), f32), sds((1, d), f32),
+    )
+    fn = functools.partial(impl, heads=heads, hd=d // heads, eps=eps,
+                           act=act, interpret=False)
+    try:
+        jax.jit(fn).lower(x, *args).compile()
+        return True
+    except Exception:
+        return False
+
+
 def _flat_args(ln1, qkv, out, ln2, fc1, fc2):
     vec = lambda p: p[None, :].astype(jnp.float32)
     return (

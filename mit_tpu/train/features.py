@@ -9,7 +9,9 @@ RAM, and feed training steps from the cache (BASELINE.json config 3).
 
 CLS mode: 31k images × 768 fp32 ≈ 95 MB — trivially cacheable.
 Full-sequence mode (197×768 per image, ≈ 9 GB in bf16 for Flickr30k) stores
-bf16 halves by default; ``max_bytes`` bounds the host footprint — a build
+bf16 halves when the encoder computes in bf16 (fp32 otherwise, so a cast
+never discards precision the training step would have seen);
+``max_bytes`` bounds the host footprint — a build
 that would exceed it raises :class:`FeatureCacheTooLarge` *before* encoding
 anything, and the training loop falls back to in-graph encoding.
 """
@@ -58,19 +60,27 @@ class FeatureCache:
         dtype=None,
         max_bytes: Optional[int] = None,
         verbose: bool = True,
+        compute_dtype=jnp.float32,
     ) -> "FeatureCache":
-        """``dtype`` defaults to fp32 for CLS features (tiny) and bf16 for
-        full-sequence features (the encoder itself computes in bf16, so the
-        cast loses nothing the training step ever saw). ``max_bytes`` is a
-        hard host-RAM bound checked against U × S × H *before* any encode
-        work; exceeding it raises :class:`FeatureCacheTooLarge`."""
+        """``compute_dtype`` is the dtype the encoder forward runs in — pass
+        the training step's compute dtype so cached and in-graph training see
+        identical features. ``dtype`` (storage) defaults to fp32 for CLS
+        features (tiny) and, for full-sequence features, to bf16 *when the
+        encoder computed in bf16* (the cast then loses nothing the training
+        step ever saw) and fp32 otherwise. ``max_bytes`` is a hard host-RAM
+        bound checked against U × S × H *before* any encode work; exceeding
+        it raises :class:`FeatureCacheTooLarge`."""
         unique_paths: List[str] = sorted(set(dataset.image_paths))
         path_to_row = {p: i for i, p in enumerate(unique_paths)}
         pre = dataset.preprocessor
 
         full_seq = mcfg.memory_mode != "cls"
         if dtype is None:
-            dtype = ml_dtypes.bfloat16 if full_seq else np.float32
+            bf16_computed = jnp.dtype(compute_dtype) == jnp.dtype(jnp.bfloat16)
+            dtype = (
+                ml_dtypes.bfloat16 if (full_seq and bf16_computed)
+                else np.float32
+            )
         seq = mcfg.vision.seq_len if full_seq else 1
         est_bytes = (
             len(unique_paths) * seq * mcfg.vision.hidden_size
@@ -87,7 +97,8 @@ class FeatureCache:
         # params as jit argument (a closure constant would be baked into the
         # compiled program and stall compilation for real-size encoders)
         encode_fn = jax.jit(
-            lambda p, px: encode_images({"encoder": p}, mcfg, px)
+            lambda p, px: encode_images({"encoder": p}, mcfg, px,
+                                        compute_dtype=compute_dtype)
         )
         encode = lambda px: encode_fn(encoder_params, px)
 

@@ -237,16 +237,21 @@ def train(
     # encoding instead of OOMing the host).
     use_cache = cfg.CACHE_ENCODER_FEATURES
     cache = None
+    compute_dtype = jnp.bfloat16 if cfg.COMPUTE_DTYPE == "bfloat16" else jnp.float32
     if use_cache:
         from mit_tpu.train.features import FeatureCacheTooLarge
 
         print("Building frozen-encoder feature cache ...")
         try:
+            # encode with the SAME compute dtype the in-graph fallback path
+            # trains with, so cached and uncached training see identical
+            # encoder features (bf16 storage then rounds nothing new)
             cache = FeatureCache.build(
                 dataset, step_encoder["encoder"], mcfg,
                 batch_size=min(cfg.BATCH_SIZE, 64),
                 num_workers=cfg.NUM_WORKERS,
                 max_bytes=cfg.FEATURE_CACHE_MAX_BYTES,
+                compute_dtype=compute_dtype,
             )
             print(f"Feature cache: {cache.features.shape} "
                   f"@ {cache.features.dtype}, {cache.nbytes / 1e6:.1f} MB")
@@ -273,7 +278,6 @@ def train(
     lr_at = schedule if callable(schedule) else (lambda step: schedule)
     state = init_train_state(trainable, optimizer)
 
-    compute_dtype = jnp.bfloat16 if cfg.COMPUTE_DTYPE == "bfloat16" else jnp.float32
     train_step = make_train_step(
         mcfg, optimizer, cfg.PAD_TOKEN_ID, compute_dtype, from_features=use_cache
     )

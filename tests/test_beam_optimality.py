@@ -1,7 +1,5 @@
 """Beam-search optimality vs brute force.
 
-pytestmark = pytest.mark.slow  # heavy end-to-end module (see pyproject)
-
 With beam width ≥ the whole candidate frontier, beam search IS exhaustive —
 its result must equal the global argmax sequence found by enumerating every
 possible token sequence and scoring it with the full decoder forward.
@@ -11,6 +9,8 @@ import itertools
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # heavy end-to-end module (see pyproject)
 
 import jax
 import jax.numpy as jnp

@@ -176,8 +176,10 @@ def test_attach_features_on_text_only_batch(corpus):
 
 @pytest.mark.slow
 def test_full_sequence_feature_cache_bf16(corpus):
-    """Full-sequence mode stores bf16 by default; lookup returns fp32
-    features matching an fp32-built cache to bf16 mantissa tolerance."""
+    """Full-sequence mode stores bf16 by default iff the encoder computed
+    in bf16 (fp32 otherwise, so the cast never invents rounding the train
+    step wouldn't see); lookup returns fp32 features matching an
+    fp32-stored cache of the same bf16 compute."""
     import jax
     from mit_tpu.models.decoder import DecoderConfig
     from mit_tpu.models.model import ModelConfig, init_model_params
@@ -197,13 +199,20 @@ def test_full_sequence_feature_cache_bf16(corpus):
     mcfg = ModelConfig("tiny", vis, dec, "full")
     params = init_model_params(jax.random.PRNGKey(0), mcfg)
 
+    import jax.numpy as jnp
+
     c16 = FeatureCache.build(ds, params["encoder"], mcfg, batch_size=4,
-                             num_workers=1, verbose=False)
+                             num_workers=1, verbose=False,
+                             compute_dtype=jnp.bfloat16)
     c32 = FeatureCache.build(ds, params["encoder"], mcfg, batch_size=4,
-                             num_workers=1, dtype=np.float32, verbose=False)
+                             num_workers=1, dtype=np.float32, verbose=False,
+                             compute_dtype=jnp.bfloat16)
+    cf32 = FeatureCache.build(ds, params["encoder"], mcfg, batch_size=4,
+                              num_workers=1, verbose=False)  # fp32 compute
     import ml_dtypes
 
     assert c16.features.dtype == ml_dtypes.bfloat16
+    assert cf32.features.dtype == np.float32   # fp32 compute → fp32 storage
     assert c16.features.shape[1] == vis.seq_len          # full patch sequence
     assert c16.nbytes == c32.nbytes // 2
     paths = sorted(set(ds.image_paths))[:3]

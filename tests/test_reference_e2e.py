@@ -1,7 +1,5 @@
 """End-to-end parity vs the reference's full ImageToTextModel.
 
-pytestmark = pytest.mark.slow  # heavy end-to-end module (see pyproject)
-
 Builds the reference architecture in torch (HF ViT vision tower + linear
 projection + post-LN TransformerDecoder — reference model.py:12-169) with
 random weights, exports a state dict in the reference's exact checkpoint
@@ -19,6 +17,8 @@ import math
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # heavy end-to-end module (see pyproject)
 import torch
 import torch.nn as nn
 

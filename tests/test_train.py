@@ -1,6 +1,4 @@
 """Training subsystem tests: loss, optimizer parity, steps, checkpoints,
-
-pytestmark = pytest.mark.slow  # heavy end-to-end module (see pyproject)
 resume, and a tiny end-to-end training run."""
 
 import json
@@ -10,6 +8,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # heavy end-to-end module (see pyproject)
 from PIL import Image
 
 from mit_tpu.config import Config

@@ -1,7 +1,5 @@
 """Training-trajectory parity vs PyTorch.
 
-pytestmark = pytest.mark.slow  # heavy end-to-end module (see pyproject)
-
 The loss-curve anchor in BASELINE.md (≈3.0→2.54 over 10 Flickr30k epochs)
 can't run here (no dataset download), so this is the equivalent controlled
 experiment: our decoder and the torch reference decoder start from IDENTICAL
@@ -15,6 +13,8 @@ import math
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # heavy end-to-end module (see pyproject)
 import torch
 import torch.nn as nn
 
