@@ -168,7 +168,15 @@ def main():
     # tunnel and real in production too). params as jit arguments
     # (closure-captured params become giant compile-time constants).
     @jax.jit
-    def caption_kernel(p, images_u8):
+    def caption_kernel(p, images_u8, shift=None, stamp=None):
+        # argument-uniqueness transforms (roll + wrap stamp) run INSIDE the
+        # jit: a separate jnp.roll dispatch materializes its 308 MB output
+        # between programs, which the tunnel round-trips when synced
+        # (~1.3 s measured at B=2048; see benchmarks/ab_pipeline_breakdown)
+        if shift is not None:
+            images_u8 = jnp.roll(images_u8, shift, axis=0)
+            images_u8 = images_u8.at[0, 0, 0, 0].set(
+                jnp.asarray(stamp, jnp.uint8))
         pixels = device_preprocess(images_u8, spec_name)
         if tiny:
             pixels = jax.image.resize(
@@ -253,11 +261,12 @@ def main():
         for i in range(iters):
             g = rep * iters + i
             span = max(batch - 1, 1)   # batch=1: roll is identity, the wrap
-            imgs = jnp.roll(images, g % span + 1, axis=0)  # stamp de-dups
+            shift = g % span + 1       # stamp de-dups
             wrap = g // span
-            if wrap:
-                imgs = imgs.at[0, 0, 0, 0].set(wrap % 256)
-            tokens, lengths = caption_kernel(p, imgs)
+            tokens, lengths = caption_kernel(
+                p, images, jnp.asarray(shift, jnp.int32),
+                jnp.asarray(wrap % 256, jnp.int32),
+            )
             acc = acc + jnp.sum(tokens)
         int(acc)  # host fetch: completes only after every iteration ran
         dt = time.perf_counter() - t0
@@ -297,6 +306,12 @@ def main():
     # dtype layout; all three share the bf16 executable except int8)
     for p in configs.values():
         tokens, _ = caption_kernel(p, images)
+        int(jnp.sum(tokens))
+        # the timed form (in-jit roll+stamp) is a separate trace — compile
+        # it here so rep 1 doesn't pay the compile
+        tokens, _ = caption_kernel(
+            p, images, jnp.asarray(1, jnp.int32), jnp.asarray(0, jnp.int32)
+        )
         int(jnp.sum(tokens))
 
     # INTERLEAVED repetitions, median per config: a single contiguous pass

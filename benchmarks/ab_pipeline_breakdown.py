@@ -49,7 +49,13 @@ images = jnp.asarray(rng.integers(0, 255, (B, 224, 224, 3), dtype=np.uint8))
 
 @jax.jit
 def preproc(u8):
-    return device_preprocess(u8, spec_name)
+    # reduce INSIDE the jit: returning the raw (B, 3, 224, 224) f32 output
+    # makes the remote-tunnel platform ship ~1.2 GB back to the host per
+    # dispatch (measured ~1.2 s/iter — it dominated and misread as device
+    # time). A full-array sum keeps every element live under DCE (a single
+    # indexed element would let XLA compute just that element) and costs
+    # one extra bandwidth pass (~1.5 ms at B=2048).
+    return jnp.sum(device_preprocess(u8, spec_name))
 
 
 @jax.jit
@@ -97,7 +103,7 @@ pipe100 = pipe_fn(100)
 # (executable, args) pairs — see bench.py): images roll by a global index,
 # decode-only segments roll the memory rows the same way.
 segs = {
-    "preproc": lambda im, mem: preproc(im)[0, 0, 0, 0],
+    "preproc": lambda im, mem: preproc(im),
     "encode_int8": lambda im, mem: enc_int8(params_q, im)[0, 0, 0],
     "decode12": lambda im, mem: dec12(params_q, mem)[0, 0],
     "pipe12": lambda im, mem: pipe12(params_q, im)[0, 0],
