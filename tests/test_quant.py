@@ -186,6 +186,18 @@ def test_attn_heads_per_chunk():
             assert 1 <= hc <= heads and heads % hc == 0
 
 
+def test_kernel_compile_probe_graceful():
+    """kernel_compiles never raises — on a backend that can't build the
+    Mosaic kernel (this CPU host) it returns False and dispatch falls to
+    the next tier (on TPU it's been verified True for ViT-B mega / ViT-L
+    split and False for ViT-L mega)."""
+    from mit_tpu.ops.pallas_int8_layer import kernel_compiles
+
+    out = kernel_compiles("mega", 2, 197, 768, 3072, 12, 1e-12, "gelu",
+                          "bfloat16")
+    assert out in (True, False)
+
+
 def test_int8_clip_family(pixels):
     """ln_pre / quick_gelu / no-patch-bias variant runs and tracks float,
     on both the XLA composition and the fused-kernel (interpret) path."""
