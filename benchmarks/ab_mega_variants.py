@@ -72,7 +72,91 @@ def _mlp_body_bf16(x, ln2_s, ln2_b, w1, s1, b1, w2, s2, b2):
     )
 
 
-def make_kernel(mode, npack):
+def _mlp_body_chunked(x, ln2_s, ln2_b, w1, s1, b1, w2, s2, b2, nchunks):
+    """MLP sublayer with the F dimension processed in ``nchunks`` chunks.
+
+    Peak VMEM for the (rows, F) f32 mid drops by nchunks×: per chunk the
+    fc1 GEMM produces (rows, F/nc), dequant+GELU+requant run on that
+    slice, and the fc2 partial GEMM contracts it immediately. Per-chunk
+    per-row requant scales are folded into the f32 partial accumulation
+    (they differ per chunk, so int32 partials can't be summed raw).
+    """
+    h = _ln(x, ln2_s[0, :][None, :], ln2_b[0, :][None, :], EPS)
+    h8, sh = _quantize_rows(h)
+    fc = w1.shape[1] // nchunks
+    out = None
+    for c in range(nchunks):
+        cs = slice(c * fc, (c + 1) * fc)
+        mid = _dq(
+            jax.lax.dot_general(h8, w1[:, cs], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32),
+            sh, s1[:, cs], b1[:, cs],
+        )
+        mid = _gelu(mid)
+        m8, sm = _quantize_rows(mid)
+        part = jax.lax.dot_general(
+            m8, w2[cs, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * sm
+        out = part if out is None else out + part
+    return x + out * s2[0, :][None, :] + b2[0, :][None, :]
+
+
+def _dual_kernel(npack):
+    """Per-image independent chains (GEMMs at M=T, not batched across the
+    pack): every op of image A is data-independent of image B, which
+    hands Mosaic's scheduler the freedom to overlap A's VPU phases
+    (softmax, GELU, quantize) with B's MXU phases. The batched production
+    kernel measures GEMM-time + VPU-time exactly summed (zero overlap);
+    if the scheduler exploits dual streams this should approach
+    max(GEMM, VPU) + imbalance, at the cost of worse M-padding (197 vs
+    394 rows per GEMM)."""
+
+    def kern(x_ref, ln1_s, ln1_b, wqkv, sqkv, bqkv, wo, so, bo,
+             ln2_s, ln2_b, w1, s1, b1, w2, s2, b2, o_ref, ctx_ref):
+        npk, t, d = x_ref.shape
+        scale2 = LOG2E / math.sqrt(HD)
+        for im in range(npk):
+            x = x_ref[im].astype(jnp.float32)              # (T, D)
+            h = _ln(x, ln1_s[0, :][None, :], ln1_b[0, :][None, :], EPS)
+            h8, sh = _quantize_rows(h)
+            qkv = _dq(
+                jax.lax.dot_general(h8, wqkv[:], (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.int32),
+                sh, sqkv, bqkv,
+            ).astype(jnp.bfloat16)
+            qkvT = qkv.T.reshape(3 * HEADS, HD, t)
+            q = qkvT[:HEADS]
+            k = qkvT[HEADS:2 * HEADS]
+            v = qkvT[2 * HEADS:]
+            scores = jax.lax.dot_general(
+                q.astype(jnp.float32), k.astype(jnp.float32),
+                (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * scale2
+            m = jnp.max(scores, axis=2, keepdims=True)
+            p = jnp.exp2(scores - m)
+            o = jax.lax.dot_general(
+                v, p.astype(jnp.bfloat16),
+                (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            o = o * (1.0 / jnp.sum(p, axis=2))[:, None, :]
+            ctx_ref[im * t:(im + 1) * t, :] = o.reshape(D, t).T
+            c8, sc = _quantize_rows(ctx_ref[im * t:(im + 1) * t, :])
+            x = x + _dq(
+                jax.lax.dot_general(c8, wo[:], (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.int32),
+                sc, so, bo,
+            )
+            x = _mlp_body(x, ln2_s, ln2_b, w1, s1, b1, w2, s2, b2, EPS,
+                          "gelu")
+            o_ref[im] = x.astype(o_ref.dtype)
+
+    return kern
+
+
+def make_kernel(mode, npack, mlp_mode="f32"):
     exp = (lambda s: jnp.exp2(s * LOG2E)) if mode == "exp2" else jnp.exp
 
     def _attn(x, ln1_s, ln1_b, wqkv, sqkv, bqkv, wo, so, bo, ctx_ref):
@@ -206,8 +290,13 @@ def make_kernel(mode, npack):
         npk, t, d = x_ref.shape
         x = x_ref[:].reshape(npk * t, d).astype(jnp.float32)
         x = _attn(x, ln1_s, ln1_b, wqkv, sqkv, bqkv, wo, so, bo, ctx_ref)
-        if mode == "bf16mid":
+        if mlp_mode == "bf16" or mode == "bf16mid":
             x = _mlp_body_bf16(x, ln2_s, ln2_b, w1, s1, b1, w2, s2, b2)
+        elif mlp_mode == "none":
+            pass    # attribution: layer cost minus the whole MLP sublayer
+        elif mlp_mode.startswith("chunk"):
+            x = _mlp_body_chunked(x, ln2_s, ln2_b, w1, s1, b1, w2, s2, b2,
+                                  int(mlp_mode[len("chunk"):]))
         else:
             x = _mlp_body(x, ln2_s, ln2_b, w1, s1, b1, w2, s2, b2, EPS,
                           "gelu")
@@ -216,8 +305,9 @@ def make_kernel(mode, npack):
     return kern
 
 
-def make_layer_fn(mode, npack, ctx_dtype):
-    kern = make_kernel(mode, npack)
+def make_layer_fn(mode, npack, ctx_dtype, mlp_mode="f32"):
+    kern = _dual_kernel(npack) if mode == "dual" else make_kernel(
+        mode, npack, mlp_mode)
     row = lambda n: pl.BlockSpec((1, n), lambda i: (0, 0),
                                  memory_space=pltpu.VMEM)
     wspec = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
@@ -263,13 +353,30 @@ SPECS = {
     "trans1_bf16s": ("trans_bf16s", 1, jnp.float32),
     "transctx": ("transctx", 2, jnp.float32),
     "transctx1": ("transctx", 1, jnp.float32),
+    # decoupled attention/MLP combos (4-tuples: attn mode, npack, ctx
+    # dtype, mlp mode). "nomlp" attributes the MLP sublayer's cost the
+    # way "noattn" attributes attention's.
+    "trans_nomlp": ("trans", 2, jnp.float32, "none"),
+    "trans_bf16mid": ("trans", 2, jnp.float32, "bf16"),
+    "trans_np4": ("trans", 4, jnp.float32, "f32"),
+    "trans_np4_bf16mid": ("trans", 4, jnp.float32, "bf16"),
+    "trans_np4_bf16ctx_mid": ("trans", 4, jnp.bfloat16, "bf16"),
+    "trans_chunk2": ("trans", 2, jnp.float32, "chunk2"),
+    "trans_chunk4": ("trans", 2, jnp.float32, "chunk4"),
+    "trans_np4_chunk2": ("trans", 4, jnp.float32, "chunk2"),
+    "trans_np4_chunk4": ("trans", 4, jnp.float32, "chunk4"),
+    "trans_np4_bf16ctx_chunk4": ("trans", 4, jnp.bfloat16, "chunk4"),
+    "dual2": ("dual", 2, jnp.float32),
+    "dual4": ("dual", 4, jnp.float32),
 }
 
 variants = {}
-for name, (mode, npack, cdt) in SPECS.items():
+for name, spec in SPECS.items():
     if ONLY and name not in ONLY:
         continue
-    f = make_layer_fn(mode, npack, cdt)
+    mode, npack, cdt = spec[0], spec[1], spec[2]
+    mlp_mode = spec[3] if len(spec) > 3 else "f32"
+    f = make_layer_fn(mode, npack, cdt, mlp_mode)
 
     @jax.jit
     def run(key, _f=f):
