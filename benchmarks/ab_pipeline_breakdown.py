@@ -47,30 +47,41 @@ rng = np.random.default_rng(0)
 images = jnp.asarray(rng.integers(0, 255, (B, 224, 224, 3), dtype=np.uint8))
 
 
+def _stamp_roll(x, shift, stamp):
+    """Argument-uniqueness transform INSIDE the jit (a standalone jnp.roll
+    dispatch materializes its full output between programs — the tunnel
+    round-trips it when synced, ~1.3 s at B=2048, which dominated the
+    cheap segments in the first version of this script)."""
+    x = jnp.roll(x, shift, axis=0)
+    idx = (0,) * x.ndim
+    return x.at[idx].set(jnp.asarray(stamp, x.dtype))
+
+
 @jax.jit
-def preproc(u8):
+def preproc(u8, shift, stamp):
     # reduce INSIDE the jit: returning the raw (B, 3, 224, 224) f32 output
     # makes the remote-tunnel platform ship ~1.2 GB back to the host per
-    # dispatch (measured ~1.2 s/iter — it dominated and misread as device
-    # time). A full-array sum keeps every element live under DCE (a single
-    # indexed element would let XLA compute just that element) and costs
-    # one extra bandwidth pass (~1.5 ms at B=2048).
-    return jnp.sum(device_preprocess(u8, spec_name))
+    # dispatch. A full-array sum keeps every element live under DCE and
+    # costs one extra bandwidth pass (~1.5 ms at B=2048).
+    return jnp.sum(device_preprocess(_stamp_roll(u8, shift, stamp), spec_name))
 
 
 @jax.jit
-def enc_int8(p, u8):
+def enc_int8(p, u8, shift, stamp):
+    u8 = _stamp_roll(u8, shift, stamp)
     feats = encode_images(p, mcfg, device_preprocess(u8, spec_name), cd)
     return project_features(p, mcfg, feats, cd)
 
 
-memory = enc_int8(params_q, images)
+memory = enc_int8(params_q, images, jnp.asarray(0, jnp.int32),
+                  jnp.asarray(0, jnp.uint8))
 memory.block_until_ready()
 
 
 def dec_fn(max_len):
     @jax.jit
-    def f(p, mem):
+    def f(p, mem, shift, stamp):
+        mem = _stamp_roll(mem, shift, stamp)
         toks, _ = greedy_generate(
             p["decoder"], mcfg.decoder, mem, 2, 3, 0, max_len,
             compute_dtype=cd,
@@ -85,7 +96,8 @@ dec100 = dec_fn(100)
 
 def pipe_fn(max_len):
     @jax.jit
-    def f(p, u8):
+    def f(p, u8, shift, stamp):
+        u8 = _stamp_roll(u8, shift, stamp)
         feats = encode_images(p, mcfg, device_preprocess(u8, spec_name), cd)
         mem = project_features(p, mcfg, feats, cd)
         toks, _ = greedy_generate(
@@ -100,20 +112,20 @@ pipe12 = pipe_fn(13)
 pipe100 = pipe_fn(100)
 
 # every dispatch must be argument-unique (the tunnel memoizes identical
-# (executable, args) pairs — see bench.py): images roll by a global index,
-# decode-only segments roll the memory rows the same way.
+# (executable, args) pairs — see bench.py): images roll by a global index
+# INSIDE each jitted segment; decode-only segments roll the memory rows.
 segs = {
-    "preproc": lambda im, mem: preproc(im),
-    "encode_int8": lambda im, mem: enc_int8(params_q, im)[0, 0, 0],
-    "decode12": lambda im, mem: dec12(params_q, mem)[0, 0],
-    "pipe12": lambda im, mem: pipe12(params_q, im)[0, 0],
-    "pipe100": lambda im, mem: pipe100(params_q, im)[0, 0],
+    "preproc": lambda sh, st: preproc(images, sh, st),
+    "encode_int8": lambda sh, st: enc_int8(params_q, images, sh, st)[0, 0, 0],
+    "decode12": lambda sh, st: dec12(params_q, memory, sh, st)[0, 0],
+    "pipe12": lambda sh, st: pipe12(params_q, images, sh, st)[0, 0],
+    "pipe100": lambda sh, st: pipe100(params_q, images, sh, st)[0, 0],
 }
 
 # compile everything first
 for name, fn in segs.items():
     t0 = time.perf_counter()
-    float(fn(images, memory))
+    float(fn(jnp.asarray(1, jnp.int32), jnp.asarray(0, jnp.int32)))
     print(f"compile {name}: {time.perf_counter()-t0:.1f}s", flush=True)
 
 results = {k: [] for k in segs}
@@ -122,11 +134,12 @@ for rep in range(REPS):
         t0 = time.perf_counter()
         acc = 0.0
         for i in range(ITERS):
-            g = rep * ITERS + i
-            shift = g % (B - 1) + 1
-            im = jnp.roll(images, shift, axis=0)
-            mem = jnp.roll(memory, shift, axis=0)
-            acc += float(fn(im, mem))
+            g = rep * ITERS + i + 1     # +1: warmup used (shift=1, stamp=0)
+            span = max(B - 1, 1)
+            shift = g % span + 1
+            wrap = g // span
+            acc += float(fn(jnp.asarray(shift, jnp.int32),
+                            jnp.asarray(wrap % 200, jnp.int32)))
         dt = time.perf_counter() - t0
         results[name].append(dt / ITERS)
 

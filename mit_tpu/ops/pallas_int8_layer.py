@@ -93,7 +93,13 @@ def _attn_body(x, ln1_s, ln1_b, wqkv, sqkv, bqkv, wo, so, bo, ctx_ref,
                             preferred_element_type=jnp.int32),
         sh, sqkv, bqkv,
     ).astype(jnp.bfloat16)
-    scale = 1.0 / math.sqrt(hd)
+    # softmax scale folded with log2(e): p = exp(s·scale − m) computed as
+    # exp2(s·scale2 − m2) with scale2 = scale·log2e (max commutes with the
+    # positive rescale). exp2 is the VPU primitive exp lowers to anyway —
+    # folding removes one multiply over the (heads, T, T) scores. The
+    # normalize divides once per (head, row) and multiplies per element
+    # instead of dividing per element (f32 divide = multi-op VPU sequence).
+    scale2 = 1.4426950408889634 / math.sqrt(hd)
     hc = _attn_heads_per_chunk(heads, t)
     for im in range(npack):
         rs = slice(im * t, (im + 1) * t)
@@ -107,15 +113,15 @@ def _attn_body(x, ln1_s, ln1_b, wqkv, sqkv, bqkv, wo, so, bo, ctx_ref,
                 q.astype(jnp.float32), k.astype(jnp.float32),
                 (((1,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
-            ) * scale                                       # (hc, tq, tk)
+            ) * scale2                                      # (hc, tq, tk)
             m = jnp.max(scores, axis=2, keepdims=True)
-            p = jnp.exp(scores - m)
+            p = jnp.exp2(scores - m)
             o = jax.lax.dot_general(
                 v, p.astype(jnp.bfloat16),
                 (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )                                               # (hc, hd, tq)
-            o = o / jnp.sum(p, axis=2)[:, None, :]
+            o = o * (1.0 / jnp.sum(p, axis=2))[:, None, :]
             ctx_ref[rs, h0 * hd:(h0 + hc) * hd] = o.reshape(hc * hd, t).T
     c8, sc = _quantize_rows(ctx_ref[:])
     return x + _dq(

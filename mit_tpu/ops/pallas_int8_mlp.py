@@ -71,11 +71,18 @@ def _gelu(x: jnp.ndarray) -> jnp.ndarray:
 
 def _quantize_rows(x: jnp.ndarray):
     """(BM, K) f32 → (int8, (BM, 1) f32 scale); same math as
-    ops.quant.dynamic_quantize."""
-    amax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
-    sx = jnp.maximum(amax, 1e-8) / 127.0
-    x8 = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
-    return x8, sx
+    ops.quant.dynamic_quantize.
+
+    The per-element ``x / sx`` is computed as ``x * (127 / amax)`` — one
+    VPU divide per ROW instead of per element (f32 divide is a multi-op
+    reciprocal sequence on the VPU; quantize runs on every GEMM input in
+    the int8 path, ~2M elements per mega-kernel instance). The two forms
+    round identically except at half-ulp boundaries of the scale itself.
+    """
+    amax = jnp.maximum(jnp.max(jnp.abs(x), axis=1, keepdims=True), 1e-8)
+    inv = 127.0 / amax
+    x8 = jnp.clip(jnp.round(x * inv), -127, 127).astype(jnp.int8)
+    return x8, amax * (1.0 / 127.0)
 
 
 def _mlp_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,

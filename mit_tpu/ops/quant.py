@@ -60,10 +60,13 @@ def quantize_weight(w: jnp.ndarray, bias: jnp.ndarray | None = None,
 def dynamic_quantize(x: jnp.ndarray):
     """Per-row (token) symmetric int8: x (..., K) → (x8 int8, sx (..., 1))."""
     xf = x.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-    sx = jnp.maximum(amax, 1e-8) / 127.0
-    x8 = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
-    return x8, sx
+    amax = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-8)
+    # reciprocal-multiply form (one divide per row, not per element) —
+    # keep in lockstep with pallas_int8_mlp._quantize_rows so the XLA and
+    # kernel int8 paths quantize bit-identically
+    inv = 127.0 / amax
+    x8 = jnp.clip(jnp.round(xf * inv), -127, 127).astype(jnp.int8)
+    return x8, amax * (1.0 / 127.0)
 
 
 def int8_matmul(x: jnp.ndarray, q: QuantizedLinear, out_dtype=jnp.bfloat16,
