@@ -112,8 +112,12 @@ def main():
     print(f"e2e prep train loss {float(loss2):.4f}")
     trained2 = {**state2.params, **frozen}
     cap2 = Captioner(trained2, mcfg, _Tok(), cfg, compute_dtype=jnp.bfloat16)
+    # window 12 = the trained caption length: each admitted cohort ENDs in
+    # exactly one window, so the drain pays one host sync per slot
+    # generation (8 at the old default — 2 syncs/generation through a
+    # ~26 ms round trip, plus 4 wasted device steps per window)
     svc2 = CaptionService(cap2, num_slots=slots, compute_dtype=jnp.bfloat16,
-                          steps_per_sync=int(os.environ.get("MIT_BENCH_WINDOW", 8)))
+                          steps_per_sync=int(os.environ.get("MIT_BENCH_WINDOW", 12)))
     proj = {"w": np.asarray(trained2["projection"]["w"], np.float32),
             "b": np.asarray(trained2["projection"]["b"], np.float32)}
 
@@ -178,9 +182,13 @@ def main():
     ]
     jax.block_until_ready(chunks_dev)
     t0 = time.perf_counter()
-    for cdev in chunks_dev:
-        mem_rows = np.asarray(encode_chunk(enc_params, proj, cdev))
-        for row in mem_rows:
+    # dispatch EVERY encoder chunk before materializing any: JAX dispatch
+    # is async, so the device runs the chunks back-to-back while the
+    # host's np.asarray syncs trail behind (a per-chunk sync serialized
+    # each chunk behind a full ~26 ms tunnel round trip)
+    pending = [encode_chunk(enc_params, proj, cdev) for cdev in chunks_dev]
+    for mem_dev in pending:
+        for row in np.asarray(mem_dev):
             svc2.submit_memory(row)
     svc2.run_to_completion()
     dt2 = time.perf_counter() - t0
