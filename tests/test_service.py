@@ -294,3 +294,45 @@ def test_service_sample_deterministic_per_rng(captioner):
         assert len(seq) <= MAXLEN
         # every sampled id is a real vocab id
         assert all(0 <= t < tok.get_vocab_size() for t in seq)
+
+
+# ------------------------------------------------------------ submit_batch
+
+def test_submit_batch_matches_chunked_encode_plus_batch_greedy(captioner):
+    """``submit_batch`` bookkeeping gate: chunking at ``encode_batch_size``,
+    power-of-two padding of the partial chunk by repetition, discard of the
+    pad rows, request-id <-> image-order correspondence, and the pipelined
+    dispatch-then-materialize loop must all be invisible — tokens equal the
+    plain batch greedy decoder run on the SAME chunked encodes (same float
+    batches, so the comparison is exact rather than argmax-fragile)."""
+    from PIL import Image
+
+    tok = captioner.tokenizer
+    rng = np.random.default_rng(7)
+    images = [
+        Image.fromarray(rng.integers(0, 255, (32, 32, 3), dtype=np.uint8))
+        for _ in range(7)
+    ]
+
+    # Reference memories with submit_batch's own chunking: one full chunk of
+    # 4, then a partial chunk of 3 padded (by repeating the last image) to
+    # the next power of two, pad row dropped.
+    m_full = np.asarray(captioner.memory_from_images(images[:4]))
+    m_part = np.asarray(
+        captioner.memory_from_images(images[4:] + [images[6]])
+    )[:3]
+    mems = np.concatenate([m_full, m_part], axis=0)
+    ref_tokens, ref_lengths = greedy_generate(
+        captioner.params["decoder"], captioner.mcfg.decoder,
+        jnp.asarray(mems), tok.start_id, tok.end_id, tok.pad_id, MAXLEN,
+    )
+    ref_tokens = np.asarray(ref_tokens)
+    ref_lengths = np.asarray(ref_lengths)
+
+    svc = CaptionService(captioner, num_slots=3)
+    rids = svc.submit_batch(images, encode_batch_size=4)
+    assert len(rids) == 7                        # pad rows never enqueue
+    results = svc.run_to_completion()
+    assert set(results) == set(rids)
+    for i, rid in enumerate(rids):               # rids follow image order
+        assert results[rid] == ref_tokens[i, : ref_lengths[i]].tolist()
