@@ -393,9 +393,15 @@ def main():
         "int8_encoder_ips": round(ips_int8, 2),
         "int8_caption_match": round(int8_caption_match, 4),
         "reps": reps,
+        # min-to-max rep spread per pipeline: how noise-dominated THIS run
+        # was (the int8 one qualifies the usual headline config)
         "spread_pct_bf16": round(
             100.0 * (max(samples["bf16"]) - min(samples["bf16"]))
             / max(samples["bf16"]), 1
+        ),
+        "spread_pct_int8": round(
+            100.0 * (max(samples["int8"]) - min(samples["int8"]))
+            / max(samples["int8"]), 1
         ),
         "decode_len_p50": int(np.median(lengths)),
         "decode_steps_executed": steps_executed,
