@@ -397,10 +397,25 @@ class CaptionService:
         top_k: int = 0,
         top_p: float = 1.0,
         rng: Optional[jax.Array] = None,
+        cache_len: Optional[int] = None,
     ):
         """``steps_per_sync``: tokens decoded per host round trip (device
         windows, token-identical to 1; admission granularity coarsens —
         keep it well under the typical caption length).
+
+        ``cache_len``: static length of the per-slot KV caches (default:
+        ``max_len``). Every decode step reads the caches' FULL static
+        extent, so a ``max_len``-sized cache pays (R, max_len, D) reads per
+        token even when captions END at ~12 — the serving twin of the batch
+        path's bucket ladder (:func:`mit_tpu.decode.greedy.greedy_generate`).
+        Set it just above the typical caption length: a slot whose caption
+        hits the bucket cap without ENDing is evicted and re-decoded at
+        full ``max_len`` through the batch path when the service drains
+        (rare-by-construction; decode is deterministic, so the re-run is
+        token-identical to an unbucketed service for greedy and beam —
+        ``method='sample'`` re-draws the overflow caption from a fresh rng
+        stream, so pick ``cache_len=None`` there if bit-reproducibility
+        across cache sizes matters).
 
         ``mesh``: an optional ``jax.sharding.Mesh`` with a "data" axis —
         decode slots (and their KV caches) shard across it, so one service
@@ -427,6 +442,13 @@ class CaptionService:
         self.cfg = cfg
         self.S = num_slots
         self.T = min(max_len or cfg.max_seq_len, cfg.max_seq_len)
+        if cache_len is not None and cache_len < 4:
+            raise ValueError(
+                f"cache_len={cache_len} leaves no room to decode "
+                "(START + at least two generated tokens); use >= 4."
+            )
+        # static KV extent per slot; < T turns on overflow migration
+        self.Tc = min(cache_len, self.T) if cache_len is not None else self.T
         self.cd = compute_dtype
         self.steps_per_sync = max(1, int(steps_per_sync))
         self.method = method
@@ -471,17 +493,25 @@ class CaptionService:
                 captioner.params["decoder"]
             ),
         )
+        # admission's cross-constant projections, prepared/replicated once —
+        # reading them from captioner.params every wave pulled the weights
+        # from the un-replicated host copy on a mesh
+        cross_raw = captioner.params["decoder"]["layers"]["cross"]
+        self._cross_proj = {
+            k: self._replicate(jnp.asarray(cross_raw[k]))
+            for k in ("wv", "bv", "wo", "bo")
+        }
         L, d = cfg.num_layers, cfg.embed_dim
         # beam slots own K consecutive decoder rows; R = S (greedy/sample)
         self.R = num_slots * self.K
-        # L per-layer (R, T, D) buffers, slot-sharded on dim 0 (see
+        # L per-layer (R, Tc, D) buffers, slot-sharded on dim 0 (see
         # _one_token_logits for why the cache is split per layer)
         self.k_cache = tuple(
-            self._shard(jnp.zeros((self.R, self.T, d), compute_dtype), 0)
+            self._shard(jnp.zeros((self.R, self.Tc, d), compute_dtype), 0)
             for _ in range(L)
         )
         self.v_cache = tuple(
-            self._shard(jnp.zeros((self.R, self.T, d), compute_dtype), 0)
+            self._shard(jnp.zeros((self.R, self.Tc, d), compute_dtype), 0)
             for _ in range(L)
         )
         self.cross = self._shard(
@@ -489,21 +519,26 @@ class CaptionService:
         )
         pad = captioner.tokenizer.pad_id
         if method == "beam":
-            # (S, K, T) token history per beam; the device returns
+            # (S, K, Tc) token history per beam; the device returns
             # (new_tok, src_beam) per micro-step and the host replays the
             # beam reorder — the device never stores token history.
-            self.tokens = np.full((num_slots, self.K, self.T), pad, np.int32)
+            self.tokens = np.full((num_slots, self.K, self.Tc), pad, np.int32)
             self.scores = np.zeros((num_slots, self.K), np.float32)
             self.finished = np.zeros((num_slots, self.K), bool)
         else:
-            self.tokens = np.full((num_slots, self.T), pad, np.int32)
+            self.tokens = np.full((num_slots, self.Tc), pad, np.int32)
         self.pos = np.zeros((num_slots,), np.int32)
         self.active = np.zeros((num_slots,), bool)
         self.slot_request: List[Optional[int]] = [None] * num_slots
+        # each active slot's memory row, kept so a bucket-capped caption can
+        # migrate to the full-length batch path (tiny: one (1, S_mem, d) row)
+        self.slot_memory: List[Optional[np.ndarray]] = [None] * num_slots
         self._queue: List[Tuple[int, np.ndarray]] = []   # (request_id, memory row)
+        self._overflow: List[Tuple[int, np.ndarray]] = []
         self._results: Dict[int, List[int]] = {}
         self._next_id = 0
         self.steps_run = 0
+        self.overflowed = 0
 
     # ------------------------------------------------------------------
     def _enqueue(self, memory) -> int:
@@ -592,6 +627,7 @@ class CaptionService:
             self.pos[slot] = 0
             self.active[slot] = True
             self.slot_request[slot] = rid
+            self.slot_memory[slot] = memory
         if admitted_slots:
             # each admitted slot owns K consecutive decoder rows sharing its
             # memory; duplicate pad indices rewrite the first admitted row
@@ -606,7 +642,7 @@ class CaptionService:
                 idx.append(idx[0])
                 mem.append(mem[0])
             rows = _cross_const_for(
-                self.cap.params["decoder"]["layers"]["cross"],
+                self._cross_proj,
                 jnp.asarray(np.stack(mem)),            # (W, 1, d)
             )
             self.cross = _scatter_cross_rows(
@@ -627,6 +663,71 @@ class CaptionService:
             self._results[rid] = self.tokens[slot, :length].tolist()
         self.active[slot] = False
         self.slot_request[slot] = None
+        self.slot_memory[slot] = None
+
+    def _overflow_slot(self, slot: int) -> None:
+        """Evict a caption that outgrew the KV bucket; it re-decodes at full
+        ``max_len`` through the batch path when the service drains."""
+        self._overflow.append((self.slot_request[slot], self.slot_memory[slot]))
+        self.overflowed += 1
+        self.active[slot] = False
+        self.slot_request[slot] = None
+        self.slot_memory[slot] = None
+
+    def _drain_overflow(self) -> None:
+        """Batch-decode every bucket-capped request at full length.
+
+        Decode is deterministic for greedy/beam, so re-running from the
+        stored memory reproduces the bucketed prefix exactly and continues
+        past it — token-identical to an unbucketed service. The batch pads
+        to the next power of two so the jitted decode sees a bounded shape
+        set. Runs unsharded (host-placed params) — overflow is
+        rare-by-construction when ``cache_len`` is sized to the caption
+        length distribution."""
+        if not self._overflow:
+            return
+        from mit_tpu.decode.beam import beam_generate
+        from mit_tpu.decode.greedy import greedy_generate
+
+        pending, self._overflow = self._overflow, []
+        tok = self.cap.tokenizer
+        dec = self.cap.params["decoder"]
+        rids = [r for r, _ in pending]
+        mems = np.concatenate([m for _, m in pending], axis=0)
+        real = len(rids)
+        target = 1
+        while target < real:
+            target *= 2
+        if target > real:
+            mems = np.concatenate(
+                [mems, np.repeat(mems[:1], target - real, axis=0)], axis=0
+            )
+        mem_j = jnp.asarray(mems, jnp.float32)
+        if self.method == "beam":
+            tokens, _ = beam_generate(
+                dec, self.cfg, mem_j, tok.start_id, tok.end_id, tok.pad_id,
+                self.T, self.K, compute_dtype=self.cd,
+            )
+            lengths = np.asarray((np.asarray(tokens) != tok.pad_id).sum(1))
+        elif self.method == "sample":
+            from mit_tpu.decode.sampling import sample_generate
+
+            rng = jax.random.fold_in(self._base_rng, (1 << 20) + self._wave)
+            self._wave += 1
+            tokens, lengths = sample_generate(
+                dec, self.cfg, mem_j, rng, tok.start_id, tok.end_id,
+                tok.pad_id, self.T, temperature=self.temperature,
+                top_k=self.top_k, top_p=self.top_p, compute_dtype=self.cd,
+            )
+        else:
+            tokens, lengths = greedy_generate(
+                dec, self.cfg, mem_j, tok.start_id, tok.end_id, tok.pad_id,
+                self.T, compute_dtype=self.cd,
+            )
+        tokens = np.asarray(tokens)
+        lengths = np.asarray(lengths)
+        for i, rid in enumerate(rids):
+            self._results[rid] = tokens[i, : lengths[i]].tolist()
 
     def step(self) -> None:
         """One decode window (``steps_per_sync`` tokens) for all active
@@ -671,9 +772,13 @@ class CaptionService:
             self.tokens[np.where(act)[0], p[act]] = nxt[act]
             self.pos[act] = p[act]
             self.steps_run += 1
-            done = act & ((nxt == end_id) | (p >= self.T - 1))
-            for slot in np.where(done)[0]:
-                self._finish(int(slot))
+            ended = act & (nxt == end_id)
+            capped = act & ~ended & (p >= self.Tc - 1)
+            for slot in np.where(ended | capped)[0]:
+                if capped[slot] and self.Tc < self.T:
+                    self._overflow_slot(int(slot))
+                else:
+                    self._finish(int(slot))
 
     def _step_beam(self) -> None:
         """Beam window: K decoder rows per slot, host-replayed reorder."""
@@ -686,7 +791,7 @@ class CaptionService:
          ) = service_beam_window(
             self._prepared, self.cfg,
             jnp.asarray(cur), jnp.asarray(self.pos), jnp.asarray(self.active),
-            jnp.asarray((self.tokens == pad_id).reshape(self.R, self.T)),
+            jnp.asarray((self.tokens == pad_id).reshape(self.R, self.Tc)),
             self.k_cache, self.v_cache, self.cross,
             jnp.asarray(self.scores), jnp.asarray(self.finished),
             jnp.int32(end_id), jnp.int32(pad_id),
@@ -718,9 +823,15 @@ class CaptionService:
             )
             self.pos[act] = p[act]
             self.steps_run += 1
-            done = act & (self.finished.all(axis=1) | (p >= self.T - 1))
+            all_fin = self.finished.all(axis=1)
+            done = act & (all_fin | (p >= self.Tc - 1))
             for slot in np.where(done)[0]:
-                self._finish(int(slot))
+                # a bucket-capped slot with live beams migrates: full-length
+                # beam search could still find a better finished hypothesis
+                if not all_fin[slot] and self.Tc < self.T:
+                    self._overflow_slot(int(slot))
+                else:
+                    self._finish(int(slot))
 
     # ------------------------------------------------------------------
     def run_to_completion(self, max_steps: int = 100000) -> Dict[int, List[int]]:
@@ -728,14 +839,80 @@ class CaptionService:
         while (self._queue or self.active.any()) and steps < max_steps:
             self.step()
             steps += 1
+        self._drain_overflow()
         return dict(self._results)
 
-    def caption_stream(self, images: Sequence) -> List[str]:
+    def run_stream(self, encodes, lookahead: int = 2,
+                   max_steps: int = 100000) -> List[int]:
+        """Drive the decode loop over a LAZY stream of encoder chunks.
+
+        ``encodes`` is an iterator yielding ``(memory, real_rows)`` pairs,
+        where ``memory`` is an un-materialized device array of (chunk, S_mem,
+        D) encoder outputs — each ``next()`` should *dispatch* one encoder
+        chunk (JAX dispatch is async). Pulling chunks lazily from inside the
+        decode loop interleaves them with the decode windows in the device
+        stream: the chunk dispatched right after a window executes during the
+        window's host round trip, so encoder time hides inside the RTT gaps
+        the decode already pays instead of serializing ahead of the first
+        window (``submit_batch`` dispatches everything up front — batch
+        semantics, no overlap). ``lookahead`` chunks stay in flight; each is
+        materialized (one host sync) only when the queue needs refilling.
+
+        Returns request ids in stream order.
+        """
+        ids: List[int] = []
+        inflight: List[Tuple[jnp.ndarray, int]] = []
+        exhausted = False
+
+        def pull():
+            nonlocal exhausted
+            if exhausted:
+                return
+            try:
+                inflight.append(next(encodes))
+            except StopIteration:
+                exhausted = True
+
+        while len(inflight) < max(1, lookahead) and not exhausted:
+            pull()
+        steps = 0
+        while steps < max_steps:
+            # refill the queue from the oldest landed chunk once admission
+            # could use it; dispatch the next chunk to fill the RTT gap
+            if inflight and len(self._queue) < self.S:
+                memory, real = inflight.pop(0)
+                rows = np.asarray(memory)
+                ids.extend(self._enqueue(row) for row in rows[:real])
+                pull()
+            if not (self._queue or self.active.any() or inflight):
+                break
+            self.step()
+            steps += 1
+        self._drain_overflow()
+        return ids
+
+    def caption_stream(self, images: Sequence,
+                       encode_batch_size: int = 256) -> List[str]:
         """Convenience: continuous-batch a stream of images → captions in
-        submission order (batched encoding — see :meth:`submit_batch`)."""
-        ids = self.submit_batch(images)
-        results = self.run_to_completion()
-        return [self.cap.postprocess(results[r]) for r in ids]
+        submission order. Encoder chunks dispatch lazily from inside the
+        decode loop (see :meth:`run_stream`) so encode overlaps the decode
+        windows' host round trips."""
+        n = len(images)
+
+        def encodes():
+            for i in range(0, n, encode_batch_size):
+                chunk = list(images[i:i + encode_batch_size])
+                real = len(chunk)
+                target = 1
+                while target < real:
+                    target *= 2
+                target = min(target, encode_batch_size)
+                while len(chunk) < target:
+                    chunk.append(chunk[-1])
+                yield self.cap.memory_from_images(chunk), real
+
+        ids = self.run_stream(encodes())
+        return [self.cap.postprocess(self._results[r]) for r in ids]
 
     def result(self, request_id: int) -> Optional[List[int]]:
         return self._results.get(request_id)

@@ -336,3 +336,120 @@ def test_submit_batch_matches_chunked_encode_plus_batch_greedy(captioner):
     assert set(results) == set(rids)
     for i, rid in enumerate(rids):               # rids follow image order
         assert results[rid] == ref_tokens[i, : ref_lengths[i]].tolist()
+
+
+# ------------------------------------------------------- KV-cache bucketing
+
+def test_service_bucketed_cache_matches_batch_greedy(captioner):
+    """cache_len < max_len allocates small KV buckets; captions that END
+    in-bucket decode there, the rest migrate to the full-length batch path.
+    Either way tokens must equal the plain full-length batch decode."""
+    tok = captioner.tokenizer
+    mems = _memories(captioner, 12, seed=41)
+    ref_tokens, ref_lengths = greedy_generate(
+        captioner.params["decoder"], captioner.mcfg.decoder,
+        jnp.asarray(mems), tok.start_id, tok.end_id, tok.pad_id, MAXLEN,
+    )
+    ref_tokens = np.asarray(ref_tokens)
+    ref_lengths = np.asarray(ref_lengths)
+
+    svc = CaptionService(captioner, num_slots=4, cache_len=8)
+    assert svc.k_cache[0].shape[1] == 8          # bucket actually small
+    rids = [svc.submit_memory(mems[i]) for i in range(12)]
+    results = svc.run_to_completion()
+    assert set(results) == set(rids)
+    for i, rid in enumerate(rids):
+        expect = ref_tokens[i, : ref_lengths[i]].tolist()
+        assert results[rid] == expect, f"request {i}"
+    # the random-init decoder rarely ENDs before 8 tokens, so the overflow
+    # migration path must actually have run in this test
+    assert svc.overflowed > 0
+
+
+def test_service_bucketed_beam_matches_batch_beam(captioner):
+    """Bucketed beam: a capped slot with live beams re-runs full-length
+    batch beam search (a longer hypothesis could still win)."""
+    mems = _memories(captioner, 8, seed=43)
+    expect = _batch_beam(captioner, mems, beam_size=2)
+
+    svc = CaptionService(captioner, num_slots=3, method="beam", beam_size=2,
+                         cache_len=8)
+    rids = [svc.submit_memory(mems[i]) for i in range(8)]
+    results = svc.run_to_completion()
+    for i, rid in enumerate(rids):
+        assert results[rid] == expect[i], f"request {i}"
+    assert svc.overflowed > 0
+
+
+def test_service_bucketed_sample_yields_valid_captions(captioner):
+    """Sampling with a bucket: overflow re-draws from a fresh rng stream
+    (documented), so only structural validity is pinned."""
+    tok = captioner.tokenizer
+    mems = _memories(captioner, 6, seed=47)
+    svc = CaptionService(captioner, num_slots=3, method="sample",
+                         temperature=1.0, top_k=5, cache_len=8,
+                         rng=jax.random.PRNGKey(0))
+    rids = [svc.submit_memory(mems[i]) for i in range(6)]
+    results = svc.run_to_completion()
+    for rid in rids:
+        seq = results[rid]
+        assert seq[0] == tok.start_id
+        assert len(seq) <= MAXLEN
+        assert all(0 <= t < tok.get_vocab_size() for t in seq)
+
+
+def test_service_cache_len_validation(captioner):
+    with pytest.raises(ValueError, match="cache_len"):
+        CaptionService(captioner, num_slots=2, cache_len=2)
+
+
+def test_service_bucketed_sharded_mesh_matches_unsharded(captioner):
+    """Bucketing composes with slot sharding across the mesh."""
+    from mit_tpu.parallel.mesh import create_mesh
+
+    mems = _memories(captioner, 10, seed=53)
+    ref = CaptionService(captioner, num_slots=8, cache_len=8)
+    rids_ref = [ref.submit_memory(mems[i]) for i in range(10)]
+    expect = ref.run_to_completion()
+
+    mesh = create_mesh((8, 1))
+    svc = CaptionService(captioner, num_slots=8, cache_len=8, mesh=mesh)
+    rids = [svc.submit_memory(mems[i]) for i in range(10)]
+    got = svc.run_to_completion()
+    for a, b in zip(rids_ref, rids):
+        assert expect[a] == got[b]
+
+
+# ------------------------------------------------------------- run_stream
+
+def test_caption_stream_matches_batch(captioner):
+    """caption_stream (lazy chunk encode interleaved with decode windows)
+    must return the same captions as chunk-encode + batch greedy."""
+    from PIL import Image
+
+    tok = captioner.tokenizer
+    rng = np.random.default_rng(9)
+    images = [
+        Image.fromarray(rng.integers(0, 255, (32, 32, 3), dtype=np.uint8))
+        for _ in range(7)
+    ]
+    # reference memories with the stream's own chunking (chunk 4, partial
+    # chunk padded by repetition to the next power of two, pad row dropped)
+    m_full = np.asarray(captioner.memory_from_images(images[:4]))
+    m_part = np.asarray(
+        captioner.memory_from_images(images[4:] + [images[6]])
+    )[:3]
+    mems = np.concatenate([m_full, m_part], axis=0)
+    ref_tokens, ref_lengths = greedy_generate(
+        captioner.params["decoder"], captioner.mcfg.decoder,
+        jnp.asarray(mems), tok.start_id, tok.end_id, tok.pad_id, MAXLEN,
+    )
+    ref_tokens = np.asarray(ref_tokens)
+    expect = [
+        captioner.postprocess(ref_tokens[i, : int(l)].tolist())
+        for i, l in enumerate(np.asarray(ref_lengths))
+    ]
+
+    svc = CaptionService(captioner, num_slots=3, cache_len=8)
+    got = svc.caption_stream(images, encode_batch_size=4)
+    assert got == expect
