@@ -437,6 +437,19 @@ class CaptionService:
             raise ValueError(
                 f"method must be 'greedy', 'beam' or 'sample', got {method!r}"
             )
+        if getattr(captioner.mcfg, "memory_mode", "cls") != "cls":
+            # The service's cross-attention state is the CLS-mode
+            # out-projection constant (one (L, R, D) buffer); full-sequence
+            # memory (reference encoder.py:107's documented alternative)
+            # needs per-slot (S_mem, D) cross K/V it doesn't carry. Refuse
+            # clearly at construction — the batch API (Captioner.generate /
+            # greedy_generate) serves full-memory models.
+            raise ValueError(
+                "CaptionService only supports MEMORY_MODE='cls' "
+                f"(got {captioner.mcfg.memory_mode!r}); use the batch "
+                "decode API (Captioner.generate_from_memory) for "
+                "full-sequence memory."
+            )
         self.cap = captioner
         cfg = captioner.mcfg.decoder
         self.cfg = cfg
@@ -877,9 +890,10 @@ class CaptionService:
             pull()
         steps = 0
         while steps < max_steps:
-            # refill the queue from the oldest landed chunk once admission
-            # could use it; dispatch the next chunk to fill the RTT gap
-            if inflight and len(self._queue) < self.S:
+            # refill the queue from the oldest landed chunks until the next
+            # admission wave can run at full slot capacity; dispatch the
+            # next chunk(s) to fill the RTT gap
+            while inflight and len(self._queue) < self.S:
                 memory, real = inflight.pop(0)
                 rows = np.asarray(memory)
                 ids.extend(self._enqueue(row) for row in rows[:real])
