@@ -120,8 +120,14 @@ def main():
     # exactly one window, so the drain pays one host sync per slot
     # generation (8 at the old default — 2 syncs/generation through a
     # ~26 ms round trip, plus 4 wasted device steps per window)
+    window = int(os.environ.get("MIT_BENCH_WINDOW", 12))
+    # caption length is 12 tokens (START + 10 words + END), so a 16-slot KV
+    # bucket covers every caption with headroom and cuts each step's cache
+    # read from (R, 100, D) to (R, 16, D) — the serving twin of the batch
+    # path's bucket ladder. 0 = unbucketed (the round-3 configuration).
+    cache_len = int(os.environ.get("MIT_BENCH_CACHE_LEN", 16)) or None
     svc2 = CaptionService(cap2, num_slots=slots, compute_dtype=jnp.bfloat16,
-                          steps_per_sync=int(os.environ.get("MIT_BENCH_WINDOW", 12)))
+                          steps_per_sync=window, cache_len=cache_len)
     proj = {"w": np.asarray(trained2["projection"]["w"], np.float32),
             "b": np.asarray(trained2["projection"]["b"], np.float32)}
 
@@ -130,7 +136,7 @@ def main():
     # queue (the round-1..2 comparison metric).
     # ------------------------------------------------------------------
     svc = CaptionService(cap2, num_slots=slots, compute_dtype=jnp.bfloat16,
-                         steps_per_sync=int(os.environ.get("MIT_BENCH_WINDOW", 12)))
+                         steps_per_sync=window, cache_len=cache_len)
     mem = np.concatenate([
         np.asarray(encode_chunk(enc_params, proj,
                                 jnp.asarray(images_u8[i:i + chunk])))
@@ -140,12 +146,28 @@ def main():
         svc.submit_memory(mem[i])
     svc.run_to_completion()
     t0 = time.perf_counter()
-    for i in range(reqs):
-        svc.submit_memory(mem[i])
+    rids = [svc.submit_memory(mem[i]) for i in range(reqs)]
     results = svc.run_to_completion()
     dt = time.perf_counter() - t0
     lens = [len(v) for v in results.values()]
     decoder_only = round(reqs / dt, 1)
+
+    # token-identity gate: the bucketed service must reproduce the plain
+    # full-length batch greedy decode exactly (bucketing + overflow
+    # migration are throughput mechanisms, never semantic ones)
+    from mit_tpu.decode.greedy import greedy_generate
+
+    n_chk = min(256, reqs)
+    ref_tok, ref_len = greedy_generate(
+        {k: trained2[k] for k in ("decoder",)}["decoder"], mcfg.decoder,
+        jnp.asarray(mem[:n_chk], jnp.float32), 2, 3, 0,
+        mcfg.decoder.max_seq_len, compute_dtype=jnp.bfloat16,
+    )
+    ref_tok, ref_len = np.asarray(ref_tok), np.asarray(ref_len)
+    svc_match = all(
+        results[rids[i]] == ref_tok[i, : ref_len[i]].tolist()
+        for i in range(n_chk)
+    )
 
     # ------------------------------------------------------------------
     # Beam-search service throughput: K=3 beams per slot (the reference's
@@ -157,7 +179,7 @@ def main():
     svc_beam = CaptionService(
         cap2, num_slots=slots, compute_dtype=jnp.bfloat16,
         method="beam", beam_size=3,
-        steps_per_sync=int(os.environ.get("MIT_BENCH_WINDOW", 12)),
+        steps_per_sync=window, cache_len=cache_len,
     )
     for i in range(min(8, breqs)):
         svc_beam.submit_memory(mem[i])
@@ -186,15 +208,14 @@ def main():
     ]
     jax.block_until_ready(chunks_dev)
     t0 = time.perf_counter()
-    # dispatch EVERY encoder chunk before materializing any: JAX dispatch
-    # is async, so the device runs the chunks back-to-back while the
-    # host's np.asarray syncs trail behind (a per-chunk sync serialized
-    # each chunk behind a full ~26 ms tunnel round trip)
-    pending = [encode_chunk(enc_params, proj, cdev) for cdev in chunks_dev]
-    for mem_dev in pending:
-        for row in np.asarray(mem_dev):
-            svc2.submit_memory(row)
-    svc2.run_to_completion()
+    # encoder chunks dispatch LAZILY from inside the decode loop
+    # (run_stream): each chunk dispatched right after a decode window
+    # executes during that window's host round trip, so encode time hides
+    # inside RTT gaps instead of serializing ahead of the first window
+    svc2.run_stream(
+        ((encode_chunk(enc_params, proj, cdev), chunk) for cdev in chunks_dev),
+        lookahead=int(os.environ.get("MIT_BENCH_LOOKAHEAD", 2)),
+    )
     dt2 = time.perf_counter() - t0
 
     print(json.dumps({
@@ -211,6 +232,9 @@ def main():
         "e2e_encoder": (
             "int8" if os.environ.get("MIT_BENCH_INT8", "1") == "1" else "bf16"
         ),
+        "cache_len": cache_len or mcfg.decoder.max_seq_len,
+        "overflowed": svc.overflowed + svc2.overflowed,
+        "match_batch_greedy": bool(svc_match),
     }))
 
 
