@@ -55,6 +55,25 @@ FAMILIES = {
 FEATURE_TOL = 5e-3
 
 
+def local_weights_dir(repo: str, family: str) -> "str | None":
+    """Sweep ``MIT_WEIGHTS_DIR`` for a local drop of this family's weights.
+
+    A weights drop (no network, just files — e.g. scp'd HF snapshots) flips
+    families from SKIP to a measured verdict with zero code changes: place
+    each model at ``$MIT_WEIGHTS_DIR/<org>/<name>``, ``<org>--<name>``,
+    ``<name>`` or ``<family>`` (a dir holding config.json + *.safetensors,
+    the layout ``save_pretrained`` writes)."""
+    root = os.environ.get("MIT_WEIGHTS_DIR")
+    if not root:
+        return None
+    for cand in (repo, repo.replace("/", "--"),
+                 os.path.basename(repo), family):
+        p = os.path.join(root, cand)
+        if os.path.isdir(p):
+            return p
+    return None
+
+
 def _torch_last_hidden(repo: str, family: str, pixels: np.ndarray,
                        local_only: bool):
     """HF torch vision-tower forward → last_hidden_state (numpy)."""
@@ -87,15 +106,17 @@ def check_family(family: str, repo: str, allow_download: bool) -> dict:
     from mit_tpu.models.vision import vision_forward
 
     local_only = not allow_download
+    src = local_weights_dir(family=family, repo=repo) or repo
     try:
         vcfg, params = load_pretrained_encoder(
-            repo, family=family, local_files_only=local_only
+            src, family=family, local_files_only=local_only
         )
     except Exception as e:
         return {
             "status": "SKIP",
             "reason": f"weights unreachable ({type(e).__name__}): {e}",
             "repo": repo,
+            "source": src,
         }
 
     rng = np.random.default_rng(0)
@@ -106,13 +127,14 @@ def check_family(family: str, repo: str, allow_download: bool) -> dict:
         vision_forward(params, vcfg, jnp.asarray(pixels), use_pallas=False)
     )
     try:
-        theirs = _torch_last_hidden(repo, family, pixels, local_only)
+        theirs = _torch_last_hidden(src, family, pixels, local_only)
     except Exception as e:
         return {
             "status": "SKIP",
             "reason": "our tower loaded, but the HF torch side is "
             f"unreachable for comparison ({type(e).__name__}): {e}",
             "repo": repo,
+            "source": src,
             "loaded_geometry": {
                 "hidden": vcfg.hidden_size, "layers": vcfg.num_layers,
                 "seq_len": vcfg.seq_len,
@@ -124,6 +146,7 @@ def check_family(family: str, repo: str, allow_download: bool) -> dict:
     rec = {
         "status": "match" if max_abs <= FEATURE_TOL * max(1.0, scale) else "mismatch",
         "repo": repo,
+        "source": src,
         "last_hidden_max_abs_err": max_abs,
         "last_hidden_scale": scale,
         "cls_max_abs_err": float(np.abs(ours[:, 0] - theirs[:, 0]).max()),

@@ -102,3 +102,28 @@ def test_runbook_cli_writes_report(tmp_path):
     data = json.load(open(out))
     assert data["families"]["vit"]["status"] in ("match", "SKIP")
     assert data["caption_parity"]["status"] == "SKIP"
+
+
+def test_weights_dir_sweep_flips_family_to_match(local_vit_dir, monkeypatch,
+                                                 tmp_path):
+    """A weights DROP (files only, no network): pointing MIT_WEIGHTS_DIR at
+    a directory holding <family>/ flips check_family from SKIP to a real
+    verdict with the HF repo id unchanged (VERDICT r3, next #8)."""
+    import shutil
+
+    root = tmp_path / "drop"
+    shutil.copytree(local_vit_dir, root / "vit")
+
+    repo = "google/vit-base-patch16-224-in21k"   # unreachable here
+    rec_skip = report.check_family("vit", repo, allow_download=False)
+    assert rec_skip["status"] == "SKIP"
+
+    monkeypatch.setenv("MIT_WEIGHTS_DIR", str(root))
+    rec = report.check_family("vit", repo, allow_download=False)
+    assert rec["status"] == "match", rec
+    assert rec["source"] == str(root / "vit")
+
+    # the <org>/<name> mirror layout resolves too, and wins over <family>
+    mirror = root / "google" / "vit-base-patch16-224-in21k"
+    shutil.copytree(local_vit_dir, mirror)
+    assert report.local_weights_dir(repo, "vit") == str(mirror)
