@@ -156,6 +156,93 @@ def _dual_kernel(npack):
     return kern
 
 
+def _stag_kernel(npack):
+    """PHASE-STAGGERED software pipeline across the npack images (VERDICT
+    r4 experiment): per-image GEMMs (M=T, worse padding than the batched
+    394-row GEMMs) but emitted so every MXU op is immediately adjacent in
+    program order to an INDEPENDENT VPU phase of the other image —
+    LN1_B‖QKV_A, softmax_A‖scores_B, GELU_A‖fc1_B, GELU_B‖fc2_A, etc.
+    The failed `dual` variant interleaved whole per-image chains (each op
+    depends on the previous one in its chain, so in-order execution
+    stalls regardless); this is the finest-grained stagger expressible —
+    if Mosaic/the hardware can overlap the units at all, this exposes it."""
+
+    def kern(x_ref, ln1_s, ln1_b, wqkv, sqkv, bqkv, wo, so, bo,
+             ln2_s, ln2_b, w1, s1, b1, w2, s2, b2, o_ref, ctx_ref):
+        npk, t, d = x_ref.shape
+        scale2 = LOG2E / math.sqrt(HD)
+        xs = [x_ref[im].astype(jnp.float32) for im in range(npk)]
+
+        # ---- attention: LN/quant (VPU) staggered with QKV GEMMs (MXU)
+        qkvs = [None] * npk
+        for im in range(npk):
+            h = _ln(xs[im], ln1_s[0, :][None, :], ln1_b[0, :][None, :], EPS)
+            h8, sh = _quantize_rows(h)                     # VPU
+            qkvs[im] = _dq(
+                jax.lax.dot_general(h8, wqkv[:], (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.int32),
+                sh, sqkv, bqkv,
+            ).astype(jnp.bfloat16)                         # MXU
+        # scores GEMMs staggered with transposes, then softmax (VPU)
+        # staggered with the other image's PV GEMM (MXU)
+        qt = [qkvs[im].T.reshape(3 * HEADS, HD, t) for im in range(npk)]
+        scores = [
+            jax.lax.dot_general(
+                qt[im][:HEADS].astype(jnp.float32),
+                qt[im][HEADS:2 * HEADS].astype(jnp.float32),
+                (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * scale2
+            for im in range(npk)
+        ]
+        ps, sums = [None] * npk, [None] * npk
+        for im in range(npk):
+            m = jnp.max(scores[im], axis=2, keepdims=True)
+            ps[im] = jnp.exp2(scores[im] - m)              # VPU
+            sums[im] = jnp.sum(ps[im], axis=2)
+        outs = [None] * npk
+        for im in range(npk):
+            o = jax.lax.dot_general(                        # MXU
+                qt[im][2 * HEADS:], ps[im].astype(jnp.bfloat16),
+                (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            outs[im] = o * (1.0 / sums[im])[:, None, :]     # VPU
+        c8s, scs = [None] * npk, [None] * npk
+        for im in range(npk):
+            rs = slice(im * t, (im + 1) * t)
+            ctx_ref[rs, :] = outs[im].reshape(D, t).T
+            c8s[im], scs[im] = _quantize_rows(ctx_ref[rs, :])   # VPU
+            xs[im] = xs[im] + _dq(                          # MXU
+                jax.lax.dot_general(c8s[im], wo[:], (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.int32),
+                scs[im], so, bo,
+            )
+
+        # ---- MLP: LN2_B‖fc1_A, GELU_A‖fc1_B, GELU_B‖fc2_A
+        mids = [None] * npk
+        for im in range(npk):
+            h = _ln(xs[im], ln2_s[0, :][None, :], ln2_b[0, :][None, :], EPS)
+            h8, sh = _quantize_rows(h)                      # VPU
+            mids[im] = _dq(                                 # MXU
+                jax.lax.dot_general(h8, w1[:], (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.int32),
+                sh, s1, b1,
+            )
+        m8s, sms = [None] * npk, [None] * npk
+        for im in range(npk):
+            m8s[im], sms[im] = _quantize_rows(_gelu(mids[im]))   # VPU
+        for im in range(npk):
+            xs[im] = xs[im] + _dq(                          # MXU
+                jax.lax.dot_general(m8s[im], w2[:], (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.int32),
+                sms[im], s2, b2,
+            )
+            o_ref[im] = xs[im].astype(o_ref.dtype)
+
+    return kern
+
+
 def make_kernel(mode, npack, mlp_mode="f32"):
     exp = (lambda s: jnp.exp2(s * LOG2E)) if mode == "exp2" else jnp.exp
 
@@ -306,8 +393,9 @@ def make_kernel(mode, npack, mlp_mode="f32"):
 
 
 def make_layer_fn(mode, npack, ctx_dtype, mlp_mode="f32"):
-    kern = _dual_kernel(npack) if mode == "dual" else make_kernel(
-        mode, npack, mlp_mode)
+    kern = (_dual_kernel(npack) if mode == "dual"
+            else _stag_kernel(npack) if mode == "stag"
+            else make_kernel(mode, npack, mlp_mode))
     row = lambda n: pl.BlockSpec((1, n), lambda i: (0, 0),
                                  memory_space=pltpu.VMEM)
     wspec = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
@@ -368,6 +456,7 @@ SPECS = {
     "trans_np4_bf16ctx_chunk4": ("trans", 4, jnp.bfloat16, "chunk4"),
     "dual2": ("dual", 2, jnp.float32),
     "dual4": ("dual", 4, jnp.float32),
+    "stag2": ("stag", 2, jnp.float32),
 }
 
 variants = {}
