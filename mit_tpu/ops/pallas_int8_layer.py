@@ -151,6 +151,115 @@ def _mlp_body(x, ln2_s, ln2_b, w1, s1, b1, w2, s2, b2, eps, act):
         sm, s2, b2,
     )
 
+def _act(mid, act):
+    if act == "gelu":
+        return _gelu(mid)
+    if act == "quick_gelu":
+        return mid * jax.nn.sigmoid(1.702 * mid)
+    raise ValueError(act)
+
+
+def _layer_body_stag(
+    x_ref, ln1_s, ln1_b, wqkv, sqkv, bqkv, wo, so, bo,
+    ln2_s, ln2_b, w1, s1, b1, w2, s2, b2, o_ref, ctx_ref,
+    heads, hd, eps, act, npack,
+):
+    """PHASE-STAGGERED layer for npack >= 2: per-image GEMMs (M=T rows,
+    slightly worse MXU padding than the pack-joint M=npack*T) emitted so
+    every MXU op is immediately adjacent in program order to an
+    INDEPENDENT VPU phase of the other image — LN1_B‖QKV_A,
+    softmax_A‖scores_B, GELU_A‖fc1_B, GELU_B‖fc2_A. Mosaic/the hardware
+    overlap the units only when program-adjacent ops are independent:
+    whole-chain interleaving (the r3 `dual` variant) stalls because each
+    op depends on its predecessor in its own chain. Measured same-run at
+    ViT-B B=2048 (benchmarks/ab_mega_variants.py, 8 interleaved reps):
+    32.81 vs 33.84 ms/layer pack-joint (−3.0%; −4.2% on a quieter run).
+    Joint-GEMM hybrids measured WORSE (stagattn/stagmlp/stagboth 36.4-37.1
+    — the pack-joint GEMM is one big dependency barrier between the
+    per-image VPU phases, so nothing overlaps).
+
+    Numerics: every op is row-local (LN/quantize per row, GEMM dot
+    products per row, softmax per image) — bit-identical to the
+    pack-joint schedule, only program ORDER changes; the interpret-mode
+    parity suite and bench.py's captions≡bf16 gate pin it.
+    """
+    npk, t, d = x_ref.shape
+    scale2 = 1.4426950408889634 / math.sqrt(hd)
+    hc = _attn_heads_per_chunk(heads, t)
+    xs = [x_ref[im].reshape(t, d).astype(jnp.float32) for im in range(npk)]
+
+    # attention: LN+quant (VPU) staggered with QKV GEMMs (MXU)
+    qkvs = [None] * npk
+    for im in range(npk):
+        h = _ln(xs[im], ln1_s[0, :][None, :], ln1_b[0, :][None, :], eps)
+        h8, sh = _quantize_rows(h)                               # VPU
+        qkvs[im] = _dq(
+            jax.lax.dot_general(h8, wqkv[:], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32),
+            sh, sqkv, bqkv,
+        ).astype(jnp.bfloat16)                                   # MXU
+    # scores GEMMs, then softmax_A (VPU) between scores_B / PV_A (MXU)
+    qt = [qkvs[im].T.reshape(3 * heads, hd, t) for im in range(npk)]
+    scores, ps, sums, outs = ([[None] * (heads // hc) for _ in range(npk)]
+                              for _ in range(4))
+    for ci, h0 in enumerate(range(0, heads, hc)):
+        for im in range(npk):
+            scores[im][ci] = jax.lax.dot_general(                # MXU
+                qt[im][h0:h0 + hc].astype(jnp.float32),
+                qt[im][heads + h0:heads + h0 + hc].astype(jnp.float32),
+                (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * scale2
+        for im in range(npk):
+            m = jnp.max(scores[im][ci], axis=2, keepdims=True)
+            ps[im][ci] = jnp.exp2(scores[im][ci] - m)            # VPU
+            sums[im][ci] = jnp.sum(ps[im][ci], axis=2)
+        for im in range(npk):
+            o = jax.lax.dot_general(                             # MXU
+                qt[im][2 * heads + h0:2 * heads + h0 + hc],
+                ps[im][ci].astype(jnp.bfloat16),
+                (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            outs[im][ci] = o * (1.0 / sums[im][ci])[:, None, :]  # VPU
+    for im in range(npk):
+        rs = slice(im * t, (im + 1) * t)
+        for ci, h0 in enumerate(range(0, heads, hc)):
+            ctx_ref[rs, h0 * hd:(h0 + hc) * hd] = (
+                outs[im][ci].reshape(hc * hd, t).T
+            )
+    c8s, scs = [None] * npk, [None] * npk
+    for im in range(npk):
+        rs = slice(im * t, (im + 1) * t)
+        c8s[im], scs[im] = _quantize_rows(ctx_ref[rs, :])        # VPU
+        xs[im] = xs[im] + _dq(                                   # MXU
+            jax.lax.dot_general(c8s[im], wo[:], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32),
+            scs[im], so, bo,
+        )
+
+    # MLP: LN2_B‖fc1_A, GELU_A‖fc1_B, GELU_B‖fc2_A
+    mids = [None] * npk
+    for im in range(npk):
+        h = _ln(xs[im], ln2_s[0, :][None, :], ln2_b[0, :][None, :], eps)
+        h8, sh = _quantize_rows(h)                               # VPU
+        mids[im] = _dq(                                          # MXU
+            jax.lax.dot_general(h8, w1[:], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32),
+            sh, s1, b1,
+        )
+    m8s, sms = [None] * npk, [None] * npk
+    for im in range(npk):
+        m8s[im], sms[im] = _quantize_rows(_act(mids[im], act))   # VPU
+    for im in range(npk):
+        xs[im] = xs[im] + _dq(                                   # MXU
+            jax.lax.dot_general(m8s[im], w2[:], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32),
+            sms[im], s2, b2,
+        )
+        o_ref[im] = xs[im].astype(o_ref.dtype)
+
+
 def _layer_kernel(
     x_ref,
     ln1_s, ln1_b, wqkv, sqkv, bqkv, wo, so, bo,
@@ -159,6 +268,13 @@ def _layer_kernel(
     *, heads: int, hd: int, eps: float, act: str, npack: int,
 ):
     npk, t, d = x_ref.shape
+    if npack >= 2:
+        _layer_body_stag(
+            x_ref, ln1_s, ln1_b, wqkv, sqkv, bqkv, wo, so, bo,
+            ln2_s, ln2_b, w1, s1, b1, w2, s2, b2, o_ref, ctx_ref,
+            heads, hd, eps, act, npack,
+        )
+        return
     x = x_ref[:].reshape(npk * t, d).astype(jnp.float32)
     x = _attn_body(x, ln1_s, ln1_b, wqkv, sqkv,
                    bqkv, wo, so, bo, ctx_ref, heads, hd, eps, npack=npack)
