@@ -14,10 +14,18 @@ preprocess -> int8/bf16 encoder in admission chunks -> continuous-batched
 decode -> captions), the full config-5 path.
 
 Env: MIT_BENCH_SLOTS (default 512), MIT_BENCH_REQS (default 2048).
-Slot sweep (same-day, int8 encoder, window 12): e2e 1,403 / 2,153 /
-1,846 capt/s at 256 / 512 / 1024 slots — more slots amortize per-window
-host syncs until the per-step (R, T=100, D) cache reads dominate; 512 is
-the sweet spot for 12-token captions on one chip.
+Slot sweep (round 3, int8 encoder, window 12, UNBUCKETED T=100 caches):
+e2e 1,403 / 2,153 / 1,846 capt/s at 256 / 512 / 1024 slots — more slots
+amortize per-window host syncs until the per-step (R, T, D) cache reads
+dominate. The round-4 bucketed caches (cache_len=16) shrink those reads
+6x, and zero-copy admission removes the per-chunk host round trips, so
+re-sweep before trusting 512 as the optimum.
+
+CROSS-DAY CAVEAT: the decoder-side and e2e numbers ride the tunnel RTT
+(~26-90 ms observed) — same-run A/Bs only. An instrumented profile of
+the same loop (random weights, 15-token captions, quiet tunnel) ran
+3,066 capt/s decoder-side at 512 slots while a bad-tunnel bench run of
+THIS script read 838 on easier (12-token) work the same day.
 """
 
 import json

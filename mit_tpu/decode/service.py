@@ -320,9 +320,30 @@ def service_beam_window(
         # freeze inactive slots: identity gather, unchanged state
         gather = jnp.where(active[:, None], slot_offset + src_beam,
                            ident).reshape(-1)               # (R,)
-        k_cache = tuple(jnp.take(c, gather, axis=0) for c in k_cache)
-        v_cache = tuple(jnp.take(c, gather, axis=0) for c in v_cache)
-        key_pad = jnp.take(key_pad, gather, axis=0)
+        # Skip the L x (R, T, D) x 2 cache reorder when every active slot's
+        # src_beam is the identity — the common case once beams settle or
+        # finish (top_k is stable, and finished beams extend with PAD at
+        # zero incremental score, so settled orderings stay put). The
+        # gather roughly triples per-step cache traffic (attention read +
+        # reorder read + write); lax.cond makes it pay-per-use. Measured
+        # on-chip A/B: see BENCHMARKS.md (service beam). Env
+        # MIT_BEAM_GATHER_SKIP=0 opts out (A/B harness; trace-time, like
+        # MIT_FUSED_DECODE).
+        if os.environ.get("MIT_BEAM_GATHER_SKIP", "1") == "1":
+            k_cache, v_cache, key_pad = jax.lax.cond(
+                jnp.any(gather != jnp.arange(r)),
+                lambda kc, vc, kp: (
+                    tuple(jnp.take(c, gather, axis=0) for c in kc),
+                    tuple(jnp.take(c, gather, axis=0) for c in vc),
+                    jnp.take(kp, gather, axis=0),
+                ),
+                lambda kc, vc, kp: (kc, vc, kp),
+                k_cache, v_cache, key_pad,
+            )
+        else:
+            k_cache = tuple(jnp.take(c, gather, axis=0) for c in k_cache)
+            v_cache = tuple(jnp.take(c, gather, axis=0) for c in v_cache)
+            key_pad = jnp.take(key_pad, gather, axis=0)
         finished = jnp.where(
             active[:, None],
             jnp.take_along_axis(finished, src_beam, axis=1)
@@ -372,6 +393,14 @@ def _cross_const_for(params_layers_cross: dict, memory: jnp.ndarray) -> jnp.ndar
     vv = jnp.einsum("bsd,lde->lbse", memory, wv) + bv[:, None, None, :]
     out = jnp.einsum("lbse,lef->lbsf", vv, wo) + bo[:, None, None, :]
     return out[:, :, 0, :]
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _scatter_cross_gathered(cross, chunk_cross, src, idx):
+    """cross (L, R, D) ← chunk_cross (L, C, D) rows ``src`` (W,) scattered
+    at decoder rows ``idx`` (W,), in place — the zero-copy admission path
+    (cross constants precomputed per chunk at land time)."""
+    return cross.at[:, idx, :].set(chunk_cross[:, src, :])
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -544,9 +573,19 @@ class CaptionService:
         self.active = np.zeros((num_slots,), bool)
         self.slot_request: List[Optional[int]] = [None] * num_slots
         # each active slot's memory row, kept so a bucket-capped caption can
-        # migrate to the full-length batch path (tiny: one (1, S_mem, d) row)
-        self.slot_memory: List[Optional[np.ndarray]] = [None] * num_slots
-        self._queue: List[Tuple[int, np.ndarray]] = []   # (request_id, memory row)
+        # migrate to the full-length batch path: a host (1, 1, d) row, or a
+        # ("dev", chunk_id, row) reference into a device-resident chunk
+        self.slot_memory: List[Optional[object]] = [None] * num_slots
+        # (request_id, memory handle): host row or ("dev", chunk_id, row)
+        self._queue: List[Tuple[int, object]] = []
+        # device-resident encode chunks: chunk_id -> {"mem": (C, 1, d) f32
+        # device array, "cross": (L, C, D) precomputed cross constants}.
+        # Zero-copy admission: the memory BYTES never visit the host — the
+        # per-chunk materialize/re-upload of the round-3 path cost a full
+        # tunnel round trip (plus ~1 MB both ways) per chunk, and the cross
+        # constants now compute at chunk-land time, off the admission path.
+        self._chunks: Dict[int, Dict[str, jnp.ndarray]] = {}
+        self._next_chunk = 0
         self._overflow: List[Tuple[int, np.ndarray]] = []
         self._results: Dict[int, List[int]] = {}
         self._next_id = 0
@@ -567,6 +606,47 @@ class CaptionService:
     def submit_memory(self, memory_row: np.ndarray) -> int:
         return self._enqueue(memory_row)
 
+    def submit_memory_batch(self, memory, real: Optional[int] = None
+                            ) -> List[int]:
+        """Queue a batch of memory rows ZERO-COPY (device-resident).
+
+        ``memory``: (C, d) or (C, 1, d) projected CLS memory — a jax array
+        stays on device end-to-end (the bytes never cross the host link);
+        numpy uploads once. The per-row cross constants compute here, at
+        chunk-land time, so admission is a pure device-side gather+scatter.
+        ``real``: number of leading rows to queue (default all) — encoder
+        chunks pad to power-of-two batch shapes.
+        """
+        mem = jnp.asarray(memory, jnp.float32)
+        c = mem.shape[0]
+        mem = mem.reshape(c, 1, -1)
+        real = c if real is None else real
+        cid = self._next_chunk
+        self._next_chunk += 1
+        self._chunks[cid] = {
+            "mem": mem,
+            "cross": _cross_const_for(self._cross_proj, mem),  # (L, C, D)
+        }
+        ids = []
+        for r in range(real):
+            rid = self._next_id
+            self._next_id += 1
+            self._queue.append((rid, ("dev", cid, r)))
+            ids.append(rid)
+        return ids
+
+    def _gc_chunks(self) -> None:
+        """Drop device chunks no longer referenced by the queue or any
+        active slot (overflow entries materialized at eviction time)."""
+        if not self._chunks:
+            return
+        live = {m[1] for _, m in self._queue
+                if isinstance(m, tuple) and m[0] == "dev"}
+        live |= {m[1] for m in self.slot_memory
+                 if isinstance(m, tuple) and m[0] == "dev"}
+        for cid in [c for c in self._chunks if c not in live]:
+            del self._chunks[cid]
+
     def submit_batch(self, images: Sequence,
                      encode_batch_size: int = 256) -> List[int]:
         """Queue many images with BATCHED encoding.
@@ -579,15 +659,15 @@ class CaptionService:
         bounded set of batch shapes (full chunks share one). Per-row
         memories then enter the admission queue as usual.
 
-        All chunk encodes DISPATCH before any result materializes: JAX
-        dispatch is async, so the device runs the encoder chunks
-        back-to-back while the host's ``np.asarray`` syncs trail behind —
-        a per-chunk sync here serialized every chunk behind a full host
-        round trip (measured ~26 ms each through the tunnel).
+        Chunks stay DEVICE-RESIDENT end-to-end (``submit_memory_batch``):
+        the encoded memory bytes never cross the host link, and each
+        chunk's cross constants compute at land time, off the admission
+        path. (The round-3 path materialized every chunk with
+        ``np.asarray`` and re-uploaded it at admission — a dependent fetch
+        plus ~1 MB both ways per chunk through a ~26 ms-RTT tunnel.)
         """
         ids: List[int] = []
         n = len(images)
-        pending = []                       # (device memory, real row count)
         for i in range(0, n, encode_batch_size):
             chunk = list(images[i:i + encode_batch_size])
             real = len(chunk)
@@ -599,10 +679,8 @@ class CaptionService:
             target = min(target, encode_batch_size)
             while len(chunk) < target:
                 chunk.append(chunk[-1])
-            pending.append((self.cap.memory_from_images(chunk), real))
-        for memory, real in pending:
-            rows = np.asarray(memory)
-            ids.extend(self._enqueue(row) for row in rows[:real])
+            mem = self.cap.memory_from_images(chunk)
+            ids.extend(self.submit_memory_batch(mem, real))
         return ids
 
     def _admit(self) -> None:
@@ -620,13 +698,27 @@ class CaptionService:
         recompiled the scatter (measured 38 captions/s; batched fixed-shape
         admission + donated row-scatter steps reach ~2,900)."""
         free = [i for i in range(self.S) if not self.active[i]]
-        admitted_slots: List[int] = []
-        admitted_mem: List[np.ndarray] = []
+        # consecutive admissions from the same source batch into one device
+        # call: (kind, payload) runs — ("host", [rows]) or ("dev", cid,
+        # [chunk rows]) — each with its slot list
+        runs: List[list] = []
         while free and self._queue:
             slot = free.pop()
             rid, memory = self._queue.pop(0)
-            admitted_slots.append(slot)
-            admitted_mem.append(np.asarray(memory, np.float32).reshape(1, -1))
+            if isinstance(memory, tuple) and memory[0] == "dev":
+                _, cid, r = memory
+                if runs and runs[-1][0] == "dev" and runs[-1][1] == cid:
+                    runs[-1][2].append(r)
+                    runs[-1][3].append(slot)
+                else:
+                    runs.append(["dev", cid, [r], [slot]])
+            else:
+                row = np.asarray(memory, np.float32).reshape(1, -1)
+                if runs and runs[-1][0] == "host":
+                    runs[-1][2].append(row)
+                    runs[-1][3].append(slot)
+                else:
+                    runs.append(["host", None, [row], [slot]])
             self.tokens[slot] = self.cap.tokenizer.pad_id
             if self.method == "beam":
                 self.tokens[slot, :, 0] = self.cap.tokenizer.start_id
@@ -641,26 +733,33 @@ class CaptionService:
             self.active[slot] = True
             self.slot_request[slot] = rid
             self.slot_memory[slot] = memory
-        if admitted_slots:
+        for kind, cid, payload, slots in runs:
             # each admitted slot owns K consecutive decoder rows sharing its
             # memory; duplicate pad indices rewrite the first admitted row
             # with identical values (scatter order is then irrelevant)
-            idx = [s * self.K + k for s in admitted_slots for k in range(self.K)]
-            mem = [m for m in admitted_mem for _ in range(self.K)]
+            idx = [s * self.K + k for s in slots for k in range(self.K)]
+            src = [r for r in payload for _ in range(self.K)]
             wave = 1
             while wave < len(idx):
                 wave *= 2
             wave = min(wave, self.R)
             while len(idx) < wave:
                 idx.append(idx[0])
-                mem.append(mem[0])
-            rows = _cross_const_for(
-                self._cross_proj,
-                jnp.asarray(np.stack(mem)),            # (W, 1, d)
-            )
-            self.cross = _scatter_cross_rows(
-                self.cross, rows, jnp.asarray(np.asarray(idx, np.int32))
-            )
+                src.append(src[0])
+            idx_j = jnp.asarray(np.asarray(idx, np.int32))
+            if kind == "dev":
+                self.cross = _scatter_cross_gathered(
+                    self.cross, self._chunks[cid]["cross"],
+                    jnp.asarray(np.asarray(src, np.int32)), idx_j,
+                )
+            else:
+                rows = _cross_const_for(
+                    self._cross_proj,
+                    jnp.asarray(np.stack(src)),        # (W, 1, d)
+                )
+                self.cross = _scatter_cross_rows(self.cross, rows, idx_j)
+        if runs:
+            self._gc_chunks()
 
     def _finish(self, slot: int) -> None:
         rid = self.slot_request[slot]
@@ -681,7 +780,12 @@ class CaptionService:
     def _overflow_slot(self, slot: int) -> None:
         """Evict a caption that outgrew the KV bucket; it re-decodes at full
         ``max_len`` through the batch path when the service drains."""
-        self._overflow.append((self.slot_request[slot], self.slot_memory[slot]))
+        m = self.slot_memory[slot]
+        if isinstance(m, tuple) and m[0] == "dev":
+            # materialize the one row now (overflow is rare-by-construction)
+            # so the chunk itself can be garbage-collected
+            m = np.asarray(self._chunks[m[1]]["mem"][m[2]])[None]
+        self._overflow.append((self.slot_request[slot], m))
         self.overflowed += 1
         self.active[slot] = False
         self.slot_request[slot] = None
@@ -707,6 +811,7 @@ class CaptionService:
         dec = self.cap.params["decoder"]
         rids = [r for r, _ in pending]
         mems = np.concatenate([m for _, m in pending], axis=0)
+        self._gc_chunks()
         real = len(rids)
         target = 1
         while target < real:
@@ -853,6 +958,7 @@ class CaptionService:
             self.step()
             steps += 1
         self._drain_overflow()
+        self._gc_chunks()
         return dict(self._results)
 
     def run_stream(self, encodes, lookahead: int = 2,
@@ -868,8 +974,10 @@ class CaptionService:
         window's host round trip, so encoder time hides inside the RTT gaps
         the decode already pays instead of serializing ahead of the first
         window (``submit_batch`` dispatches everything up front — batch
-        semantics, no overlap). ``lookahead`` chunks stay in flight; each is
-        materialized (one host sync) only when the queue needs refilling.
+        semantics, no overlap). ``lookahead`` chunks stay in flight; chunks
+        enter the queue ZERO-COPY (``submit_memory_batch`` — the memory
+        bytes never visit the host; admission gathers cross constants on
+        device).
 
         Returns request ids in stream order.
         """
@@ -895,14 +1003,14 @@ class CaptionService:
             # next chunk(s) to fill the RTT gap
             while inflight and len(self._queue) < self.S:
                 memory, real = inflight.pop(0)
-                rows = np.asarray(memory)
-                ids.extend(self._enqueue(row) for row in rows[:real])
+                ids.extend(self.submit_memory_batch(memory, real))
                 pull()
             if not (self._queue or self.active.any() or inflight):
                 break
             self.step()
             steps += 1
         self._drain_overflow()
+        self._gc_chunks()
         return ids
 
     def caption_stream(self, images: Sequence,

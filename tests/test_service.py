@@ -469,3 +469,30 @@ def test_service_rejects_full_memory_mode(captioner):
     )
     with pytest.raises(ValueError, match="MEMORY_MODE"):
         CaptionService(full_cap, num_slots=2)
+
+
+# ------------------------------------------------- zero-copy admission
+
+def test_submit_memory_batch_zero_copy_matches_host_path(captioner):
+    """Device-resident chunk submission (zero-copy admission: cross
+    constants precomputed at chunk-land time, gathered+scattered on
+    device) must caption identically to per-row host submission, and the
+    chunk registry must drain once rows finish."""
+    tok = captioner.tokenizer
+    mems = _memories(captioner, 10)
+
+    svc_host = CaptionService(captioner, num_slots=3, cache_len=8)
+    rids_h = [svc_host.submit_memory(mems[i]) for i in range(10)]
+    expect = svc_host.run_to_completion()
+
+    svc_dev = CaptionService(captioner, num_slots=3, cache_len=8)
+    rids_d = []
+    rids_d += svc_dev.submit_memory_batch(jnp.asarray(mems[:4, :, :]))
+    rids_d += svc_dev.submit_memory_batch(
+        jnp.asarray(np.concatenate([mems[4:], mems[:2]])), real=6
+    )  # padded chunk: only the 6 real rows queue
+    got = svc_dev.run_to_completion()
+    assert len(rids_d) == 10
+    for a, b in zip(rids_h, rids_d):
+        assert expect[a] == got[b]
+    assert not svc_dev._chunks, "device chunks must GC once rows finish"
