@@ -156,7 +156,7 @@ def _dual_kernel(npack):
     return kern
 
 
-def _stag_kernel(npack):
+def _stag_kernel(npack, hc=None):
     """PHASE-STAGGERED software pipeline across the npack images (VERDICT
     r4 experiment): per-image GEMMs (M=T, worse padding than the batched
     394-row GEMMs) but emitted so every MXU op is immediately adjacent in
@@ -171,6 +171,7 @@ def _stag_kernel(npack):
              ln2_s, ln2_b, w1, s1, b1, w2, s2, b2, o_ref, ctx_ref):
         npk, t, d = x_ref.shape
         scale2 = LOG2E / math.sqrt(HD)
+        chunk = hc or HEADS
         xs = [x_ref[im].astype(jnp.float32) for im in range(npk)]
 
         # ---- attention: LN/quant (VPU) staggered with QKV GEMMs (MXU)
@@ -184,34 +185,41 @@ def _stag_kernel(npack):
                 sh, sqkv, bqkv,
             ).astype(jnp.bfloat16)                         # MXU
         # scores GEMMs staggered with transposes, then softmax (VPU)
-        # staggered with the other image's PV GEMM (MXU)
+        # staggered with the other image's PV GEMM (MXU); optional head
+        # chunking multiplies the adjacency points (bit-identical per head)
         qt = [qkvs[im].T.reshape(3 * HEADS, HD, t) for im in range(npk)]
-        scores = [
-            jax.lax.dot_general(
-                qt[im][:HEADS].astype(jnp.float32),
-                qt[im][HEADS:2 * HEADS].astype(jnp.float32),
-                (((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            ) * scale2
-            for im in range(npk)
-        ]
-        ps, sums = [None] * npk, [None] * npk
-        for im in range(npk):
-            m = jnp.max(scores[im], axis=2, keepdims=True)
-            ps[im] = jnp.exp2(scores[im] - m)              # VPU
-            sums[im] = jnp.sum(ps[im], axis=2)
-        outs = [None] * npk
-        for im in range(npk):
-            o = jax.lax.dot_general(                        # MXU
-                qt[im][2 * HEADS:], ps[im].astype(jnp.bfloat16),
-                (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )
-            outs[im] = o * (1.0 / sums[im])[:, None, :]     # VPU
+        nchunks = HEADS // chunk
+        outs = [[None] * nchunks for _ in range(npk)]
+        for ci in range(nchunks):
+            h0 = ci * chunk
+            sc, ps, sums = [None] * npk, [None] * npk, [None] * npk
+            for im in range(npk):
+                sc[im] = jax.lax.dot_general(
+                    qt[im][h0:h0 + chunk].astype(jnp.float32),
+                    qt[im][HEADS + h0:HEADS + h0 + chunk].astype(jnp.float32),
+                    (((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ) * scale2
+            for im in range(npk):
+                m = jnp.max(sc[im], axis=2, keepdims=True)
+                ps[im] = jnp.exp2(sc[im] - m)              # VPU
+                sums[im] = jnp.sum(ps[im], axis=2)
+            for im in range(npk):
+                o = jax.lax.dot_general(                    # MXU
+                    qt[im][2 * HEADS + h0:2 * HEADS + h0 + chunk],
+                    ps[im].astype(jnp.bfloat16),
+                    (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+                outs[im][ci] = o * (1.0 / sums[im])[:, None, :]   # VPU
         c8s, scs = [None] * npk, [None] * npk
         for im in range(npk):
             rs = slice(im * t, (im + 1) * t)
-            ctx_ref[rs, :] = outs[im].reshape(D, t).T
+            for ci in range(nchunks):
+                h0 = ci * chunk
+                ctx_ref[rs, h0 * HD:(h0 + chunk) * HD] = (
+                    outs[im][ci].reshape(chunk * HD, t).T
+                )
             c8s[im], scs[im] = _quantize_rows(ctx_ref[rs, :])   # VPU
             xs[im] = xs[im] + _dq(                          # MXU
                 jax.lax.dot_general(c8s[im], wo[:], (((1,), (0,)), ((), ())),
@@ -242,6 +250,114 @@ def _stag_kernel(npack):
 
     return kern
 
+
+
+
+def _stagmix_kernel(npack, stag_attn=True, stag_mlp=True):
+    """Hybrid stagger: KEEP the pack-joint (npack*T row) GEMMs for QKV /
+    out-proj / fc1 / fc2 (M=394 pads ~6% vs 197's ~14%) but emit the
+    per-image VPU phases between independent MXU ops where requested:
+    attention softmax_A between scores_B/pv ops (stag_attn), GELU+requant
+    per image between the halves' fc GEMM... fc GEMMs stay joint, so MLP
+    stagger instead splits GELU into per-image halves emitted between the
+    out-proj and fc1 GEMMs' neighbors (stag_mlp)."""
+
+    def kern(x_ref, ln1_s, ln1_b, wqkv, sqkv, bqkv, wo, so, bo,
+             ln2_s, ln2_b, w1, s1, b1, w2, s2, b2, o_ref, ctx_ref):
+        npk, t, d = x_ref.shape
+        scale2 = LOG2E / math.sqrt(HD)
+        x = x_ref[:].reshape(npk * t, d).astype(jnp.float32)
+        h = _ln(x, ln1_s[0, :][None, :], ln1_b[0, :][None, :], EPS)
+        h8, sh = _quantize_rows(h)
+        qkv = _dq(
+            jax.lax.dot_general(h8, wqkv[:], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32),
+            sh, sqkv, bqkv,
+        ).astype(jnp.bfloat16)
+        if stag_attn:
+            qt = [qkv[im * t:(im + 1) * t].T.reshape(3 * HEADS, HD, t)
+                  for im in range(npk)]
+            scores = [jax.lax.dot_general(
+                qt[im][:HEADS].astype(jnp.float32),
+                qt[im][HEADS:2 * HEADS].astype(jnp.float32),
+                (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) * scale2
+                for im in range(npk)]
+            ps, sums = [None] * npk, [None] * npk
+            for im in range(npk):
+                m = jnp.max(scores[im], axis=2, keepdims=True)
+                ps[im] = jnp.exp2(scores[im] - m)
+                sums[im] = jnp.sum(ps[im], axis=2)
+            for im in range(npk):
+                o = jax.lax.dot_general(
+                    qt[im][2 * HEADS:], ps[im].astype(jnp.bfloat16),
+                    (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                o = o * (1.0 / sums[im])[:, None, :]
+                ctx_ref[im * t:(im + 1) * t, :] = o.reshape(D, t).T
+        else:
+            for im in range(npk):
+                rs = slice(im * t, (im + 1) * t)
+                qt = qkv[rs].T.reshape(3 * HEADS, HD, t)
+                scores = jax.lax.dot_general(
+                    qt[:HEADS].astype(jnp.float32),
+                    qt[HEADS:2 * HEADS].astype(jnp.float32),
+                    (((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32) * scale2
+                m = jnp.max(scores, axis=2, keepdims=True)
+                p = jnp.exp2(scores - m)
+                o = jax.lax.dot_general(
+                    qt[2 * HEADS:], p.astype(jnp.bfloat16),
+                    (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                o = o * (1.0 / jnp.sum(p, axis=2))[:, None, :]
+                ctx_ref[rs, :] = o.reshape(D, t).T
+        c8, sc = _quantize_rows(ctx_ref[:])
+        x = x + _dq(
+            jax.lax.dot_general(c8, wo[:], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32),
+            sc, so, bo,
+        )
+        h = _ln(x, ln2_s[0, :][None, :], ln2_b[0, :][None, :], EPS)
+        h8, sh = _quantize_rows(h)
+        if stag_mlp:
+            # per-image fc1 GEMMs so GELU_A can slot between fc1_A and fc1_B
+            mids = [None] * npk
+            for im in range(npk):
+                rs = slice(im * t, (im + 1) * t)
+                mids[im] = _dq(
+                    jax.lax.dot_general(h8[rs], w1[:],
+                                        (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.int32),
+                    sh[rs], s1, b1,
+                )
+            m8s, sms = [None] * npk, [None] * npk
+            for im in range(npk):
+                m8s[im], sms[im] = _quantize_rows(_gelu(mids[im]))
+            outs = [None] * npk
+            for im in range(npk):
+                outs[im] = _dq(
+                    jax.lax.dot_general(m8s[im], w2[:],
+                                        (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.int32),
+                    sms[im], s2, b2,
+                )
+            x = x + jnp.concatenate(outs, axis=0)
+        else:
+            mid = _dq(
+                jax.lax.dot_general(h8, w1[:], (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.int32),
+                sh, s1, b1,
+            )
+            m8, sm = _quantize_rows(_gelu(mid))
+            x = x + _dq(
+                jax.lax.dot_general(m8, w2[:], (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.int32),
+                sm, s2, b2,
+            )
+        o_ref[:] = x.reshape(npk, t, d).astype(o_ref.dtype)
+
+    return kern
 
 def make_kernel(mode, npack, mlp_mode="f32"):
     exp = (lambda s: jnp.exp2(s * LOG2E)) if mode == "exp2" else jnp.exp
@@ -395,6 +511,11 @@ def make_kernel(mode, npack, mlp_mode="f32"):
 def make_layer_fn(mode, npack, ctx_dtype, mlp_mode="f32"):
     kern = (_dual_kernel(npack) if mode == "dual"
             else _stag_kernel(npack) if mode == "stag"
+            else _stag_kernel(npack, HEADS // 2) if mode == "stagh2"
+            else _stag_kernel(npack, HEADS // 4) if mode == "stagh4"
+            else _stagmix_kernel(npack, True, False) if mode == "stagattn"
+            else _stagmix_kernel(npack, False, True) if mode == "stagmlp"
+            else _stagmix_kernel(npack, True, True) if mode == "stagboth"
             else make_kernel(mode, npack, mlp_mode))
     row = lambda n: pl.BlockSpec((1, n), lambda i: (0, 0),
                                  memory_space=pltpu.VMEM)
@@ -457,6 +578,11 @@ SPECS = {
     "dual2": ("dual", 2, jnp.float32),
     "dual4": ("dual", 4, jnp.float32),
     "stag2": ("stag", 2, jnp.float32),
+    "stagh2": ("stagh2", 2, jnp.float32),
+    "stagh4": ("stagh4", 2, jnp.float32),
+    "stagattn2": ("stagattn", 2, jnp.float32),
+    "stagmlp2": ("stagmlp", 2, jnp.float32),
+    "stagboth2": ("stagboth", 2, jnp.float32),
 }
 
 variants = {}

