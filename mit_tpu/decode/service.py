@@ -16,8 +16,13 @@ TPU-first constraints drive the design:
   unreachable); the host only orchestrates (submit/collect), it never
   touches token math.
 
-CLS memory mode (the reference's configuration) is supported; full-sequence
-memory would only change the cross precompute shape.
+Both memory modes are served. CLS (the reference's configuration) keeps one
+(L, R, D) constant cross-attention output per slot; full-sequence memory
+(reference encoder.py:107's documented alternative) projects each admitted
+memory's cross K/V once at chunk-land time into per-slot
+(L, R, H, S_mem, hd) buffers and attends over them every step — the
+serving twin of the batch path's ``DecodeCache.cross_k/cross_v``
+(decode/step.py init_cache).
 """
 
 from __future__ import annotations
@@ -42,8 +47,14 @@ _NEG = -1e30
 
 
 def _one_token_logits(params, cfg, tokens, pos, key_pad, k_cache, v_cache,
-                      cross_const, cd):
+                      cross, cd):
     """Advance every slot one token at its own position → (logits, k, v).
+
+    ``cross`` is the per-slot cross-attention state, tagged by key:
+    ``{"const": (L, R, D)}`` for CLS memory (the precomputed constant
+    output) or ``{"k": (L, R, H, S_mem, hd), "v": ...}`` for full-sequence
+    memory (projected K/V; q comes from the running activations each step,
+    bit-identical to the batch decoder_step's full-memory block).
 
     Perf-critical properties (measured — see BENCHMARKS.md):
     - caches live as L per-layer (S, T, D) buffers, DONATED by the jitted
@@ -83,6 +94,7 @@ def _one_token_logits(params, cfg, tokens, pos, key_pad, k_cache, v_cache,
 
     if (
         os.environ.get("MIT_FUSED_DECODE") == "1"
+        and "const" in cross
         and _fused_supported(s_slots, t_max, d, lay["w1"].shape[-1], cd)
     ):
         from mit_tpu.ops.pallas_decode_layer import fused_decode_layer
@@ -92,7 +104,7 @@ def _one_token_logits(params, cfg, tokens, pos, key_pad, k_cache, v_cache,
         for l in range(L):
             # the kernel attends over the stale cache block internally
             x, k_new, v_new = fused_decode_layer(
-                x, pos, madd, k_cache[l], v_cache[l], cross_const[l],
+                x, pos, madd, k_cache[l], v_cache[l], cross["const"][l],
                 lay, l, h,
             )
             new_k.append(k_new.astype(cd))
@@ -150,9 +162,29 @@ def _one_token_logits(params, cfg, tokens, pos, key_pad, k_cache, v_cache,
         )
         sa = ctx.astype(cd).reshape(s_slots, d) @ lay["wo"][l] + lay["bo"][l]
         x = layer_norm(jax.tree.map(lambda a: a[l], lay["ln1"]), x + sa)
+        if "const" in cross:
+            ca = cross["const"][l].astype(cd)
+        else:
+            # full-memory cross attention — the per-row twin of the batch
+            # decoder_step's cross block (decode/step.py); op order and
+            # rounding must stay bit-identical for service==batch tokens
+            qc = (
+                x @ lay["cross_wq"][l] + lay["cross_bq"][l]
+            ).reshape(s_slots, h, hd)
+            cs = jnp.einsum(
+                "she,shme->shm", qc, cross["k"][l],
+                preferred_element_type=jnp.float32,
+            ) * scale
+            cprobs = jax.nn.softmax(cs, axis=-1).astype(cd)
+            cctx = jnp.einsum(
+                "shm,shme->she", cprobs, cross["v"][l],
+                preferred_element_type=jnp.float32,
+            ).astype(cd)
+            ca = cctx.reshape(s_slots, d) @ lay["cross_wo"][l] \
+                + lay["cross_bo"][l]
         x = layer_norm(
             jax.tree.map(lambda a: a[l], lay["ln2"]),
-            x + cross_const[l].astype(cd),
+            x + ca,
         )
         y = jax.nn.relu(x @ lay["w1"][l] + lay["b1"][l])
         y = y @ lay["w2"][l] + lay["b2"][l]
@@ -190,7 +222,7 @@ def service_decode_window(
                                 # rebuilds tgt_key_padding_mask each step)
     k_cache: tuple,             # L × (S, T, D) — donated, updated in place
     v_cache: tuple,
-    cross_const: jnp.ndarray,   # (L, S, D)
+    cross: dict,                # {"const": (L, S, D)} or {"k","v"} full-mem
     end_id: jnp.ndarray,
     pad_id: jnp.ndarray,
     compute_dtype=jnp.float32,
@@ -226,7 +258,7 @@ def service_decode_window(
     for _ in range(n_steps):
         logits, k_cache, v_cache = _one_token_logits(
             params, cfg, tokens, pos, key_pad, k_cache, v_cache,
-            cross_const, cd,
+            cross, cd,
         )
         if temperature == 0.0:
             nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -263,7 +295,7 @@ def service_beam_window(
     key_pad: jnp.ndarray,       # (R, T) bool
     k_cache: tuple,             # L × (R, T, D) — donated, updated in place
     v_cache: tuple,
-    cross_const: jnp.ndarray,   # (L, R, D) — each slot's row repeated K×
+    cross: dict,                # cross state, each slot's row repeated K×
     scores: jnp.ndarray,        # (S, K) fp32 total log-probability per beam
     finished: jnp.ndarray,      # (S, K) bool
     end_id: jnp.ndarray,
@@ -306,7 +338,7 @@ def service_beam_window(
         pos_rows = jnp.repeat(pos, k)
         logits, k_cache, v_cache = _one_token_logits(
             params, cfg, tokens, pos_rows, key_pad, k_cache, v_cache,
-            cross_const, cd,
+            cross, cd,
         )
         logp = jax.nn.log_softmax(logits, axis=-1).reshape(s_slots, k, v)
         logp = jnp.where(finished[..., None], pad_onehot, logp)
@@ -372,12 +404,12 @@ def service_beam_window(
 
 def service_decode_step(
     params, cfg, tokens, pos, active, key_pad, k_cache, v_cache,
-    cross_const, compute_dtype=jnp.float32,
+    cross, compute_dtype=jnp.float32,
 ):
     """Single-token compatibility wrapper → (next_ids, k', v')."""
     ids, _, _, k, v = service_decode_window(
         params, cfg, tokens, pos, active, key_pad, k_cache, v_cache,
-        cross_const, jnp.int32(-1), jnp.int32(-1),
+        cross, jnp.int32(-1), jnp.int32(-1),
         compute_dtype=compute_dtype, n_steps=1,
     )
     return ids[:, 0], k, v
@@ -395,18 +427,46 @@ def _cross_const_for(params_layers_cross: dict, memory: jnp.ndarray) -> jnp.ndar
     return out[:, :, 0, :]
 
 
+@partial(jax.jit, static_argnames=("h", "cd"))
+def _cross_kv_for(params_layers_cross: dict, memory: jnp.ndarray,
+                  h: int, cd) -> dict:
+    """Full-memory cross K/V projected once per chunk →
+    ``{"k": (L, C, H, S, hd), "v": ...}``.
+
+    Operand casts, einsum contraction and head reshape/transpose are the
+    batch path's init_cache (decode/step.py) verbatim, so service captions
+    stay bit-identical to batch full-memory decode."""
+    mem = memory.astype(cd)
+    wk = params_layers_cross["wk"].astype(cd)
+    bk = params_layers_cross["bk"].astype(cd)
+    wv = params_layers_cross["wv"].astype(cd)
+    bv = params_layers_cross["bv"].astype(cd)
+    ck = jnp.einsum("bsd,lde->lbse", mem, wk) + bk[:, None, None, :]
+    cv = jnp.einsum("bsd,lde->lbse", mem, wv) + bv[:, None, None, :]
+    L, c, s, e = ck.shape
+    hd = e // h
+    ck = ck.reshape(L, c, s, h, hd).transpose(0, 1, 3, 2, 4)
+    cv = cv.reshape(L, c, s, h, hd).transpose(0, 1, 3, 2, 4)
+    return {"k": ck, "v": cv}
+
+
 @partial(jax.jit, donate_argnums=(0,))
 def _scatter_cross_gathered(cross, chunk_cross, src, idx):
-    """cross (L, R, D) ← chunk_cross (L, C, D) rows ``src`` (W,) scattered
-    at decoder rows ``idx`` (W,), in place — the zero-copy admission path
-    (cross constants precomputed per chunk at land time)."""
-    return cross.at[:, idx, :].set(chunk_cross[:, src, :])
+    """cross state ← chunk rows ``src`` (W,) scattered at decoder rows
+    ``idx`` (W,), in place — the zero-copy admission path (cross constants
+    or K/V precomputed per chunk at land time). Every leaf of both pytrees
+    keeps the decoder-row dimension on axis 1 ((L, R, D) const or
+    (L, R, H, S, hd) K/V), so one scatter covers both memory modes."""
+    return jax.tree.map(
+        lambda c, ch: c.at[:, idx].set(ch[:, src]), cross, chunk_cross
+    )
 
 
 @partial(jax.jit, donate_argnums=(0,))
 def _scatter_cross_rows(cross, rows, idx):
-    """cross (L, R, D) ← rows (L, W, D) at row indices idx (W,), in place."""
-    return cross.at[:, idx, :].set(rows)
+    """cross state ← per-row cross values at row indices idx (W,), in
+    place (axis-1 row dimension on every leaf, both memory modes)."""
+    return jax.tree.map(lambda c, r: c.at[:, idx].set(r), cross, rows)
 
 
 class CaptionService:
@@ -466,19 +526,12 @@ class CaptionService:
             raise ValueError(
                 f"method must be 'greedy', 'beam' or 'sample', got {method!r}"
             )
-        if getattr(captioner.mcfg, "memory_mode", "cls") != "cls":
-            # The service's cross-attention state is the CLS-mode
-            # out-projection constant (one (L, R, D) buffer); full-sequence
-            # memory (reference encoder.py:107's documented alternative)
-            # needs per-slot (S_mem, D) cross K/V it doesn't carry. Refuse
-            # clearly at construction — the batch API (Captioner.generate /
-            # greedy_generate) serves full-memory models.
-            raise ValueError(
-                "CaptionService only supports MEMORY_MODE='cls' "
-                f"(got {captioner.mcfg.memory_mode!r}); use the batch "
-                "decode API (Captioner.generate_from_memory) for "
-                "full-sequence memory."
-            )
+        # Full-sequence memory (reference encoder.py:107's documented
+        # alternative) swaps the (L, R, D) CLS cross constant for per-slot
+        # (L, R, H, S_mem, hd) cross K/V buffers — S_mem× the cross state
+        # (e.g. 197× for ViT-B), so size num_slots to HBM accordingly.
+        self.full_mem = getattr(captioner.mcfg, "memory_mode", "cls") != "cls"
+        self.s_mem = captioner.mcfg.vision.seq_len if self.full_mem else 1
         self.cap = captioner
         cfg = captioner.mcfg.decoder
         self.cfg = cfg
@@ -541,7 +594,8 @@ class CaptionService:
         cross_raw = captioner.params["decoder"]["layers"]["cross"]
         self._cross_proj = {
             k: self._replicate(jnp.asarray(cross_raw[k]))
-            for k in ("wv", "bv", "wo", "bo")
+            for k in (("wk", "bk", "wv", "bv") if self.full_mem
+                      else ("wv", "bv", "wo", "bo"))
         }
         L, d = cfg.num_layers, cfg.embed_dim
         # beam slots own K consecutive decoder rows; R = S (greedy/sample)
@@ -556,9 +610,17 @@ class CaptionService:
             self._shard(jnp.zeros((self.R, self.Tc, d), compute_dtype), 0)
             for _ in range(L)
         )
-        self.cross = self._shard(
-            jnp.zeros((L, self.R, d), jnp.float32), 1
-        )
+        if self.full_mem:
+            h = cfg.num_heads
+            kv = lambda: self._shard(
+                jnp.zeros((L, self.R, h, self.s_mem, d // h), compute_dtype),
+                1,
+            )
+            self.cross = {"k": kv(), "v": kv()}
+        else:
+            self.cross = {
+                "const": self._shard(jnp.zeros((L, self.R, d), jnp.float32), 1)
+            }
         pad = captioner.tokenizer.pad_id
         if method == "beam":
             # (S, K, Tc) token history per beam; the device returns
@@ -593,10 +655,20 @@ class CaptionService:
         self.overflowed = 0
 
     # ------------------------------------------------------------------
+    def _cross_rows_for(self, mem_batch: jnp.ndarray) -> dict:
+        """(W, S_mem, d) memories → per-row cross state (tagged dict)."""
+        if self.full_mem:
+            return _cross_kv_for(
+                self._cross_proj, mem_batch, self.cfg.num_heads, self.cd
+            )
+        return {"const": _cross_const_for(self._cross_proj, mem_batch)}
+
     def _enqueue(self, memory) -> int:
         rid = self._next_id
         self._next_id += 1
-        self._queue.append((rid, np.asarray(memory).reshape(1, 1, -1)))
+        self._queue.append(
+            (rid, np.asarray(memory).reshape(1, self.s_mem, -1))
+        )
         return rid
 
     def submit(self, image) -> int:
@@ -610,22 +682,24 @@ class CaptionService:
                             ) -> List[int]:
         """Queue a batch of memory rows ZERO-COPY (device-resident).
 
-        ``memory``: (C, d) or (C, 1, d) projected CLS memory — a jax array
-        stays on device end-to-end (the bytes never cross the host link);
-        numpy uploads once. The per-row cross constants compute here, at
-        chunk-land time, so admission is a pure device-side gather+scatter.
+        ``memory``: (C, d) / (C, 1, d) projected CLS memory, or
+        (C, S_mem, d) full-sequence memory — a jax array stays on device
+        end-to-end (the bytes never cross the host link); numpy uploads
+        once. The per-row cross state (CLS constants, or full-memory cross
+        K/V) computes here, at chunk-land time, so admission is a pure
+        device-side gather+scatter.
         ``real``: number of leading rows to queue (default all) — encoder
         chunks pad to power-of-two batch shapes.
         """
         mem = jnp.asarray(memory, jnp.float32)
         c = mem.shape[0]
-        mem = mem.reshape(c, 1, -1)
+        mem = mem.reshape(c, self.s_mem, -1)
         real = c if real is None else real
         cid = self._next_chunk
         self._next_chunk += 1
         self._chunks[cid] = {
             "mem": mem,
-            "cross": _cross_const_for(self._cross_proj, mem),  # (L, C, D)
+            "cross": self._cross_rows_for(mem),
         }
         ids = []
         for r in range(real):
@@ -713,7 +787,7 @@ class CaptionService:
                 else:
                     runs.append(["dev", cid, [r], [slot]])
             else:
-                row = np.asarray(memory, np.float32).reshape(1, -1)
+                row = np.asarray(memory, np.float32).reshape(self.s_mem, -1)
                 if runs and runs[-1][0] == "host":
                     runs[-1][2].append(row)
                     runs[-1][3].append(slot)
@@ -753,9 +827,8 @@ class CaptionService:
                     jnp.asarray(np.asarray(src, np.int32)), idx_j,
                 )
             else:
-                rows = _cross_const_for(
-                    self._cross_proj,
-                    jnp.asarray(np.stack(src)),        # (W, 1, d)
+                rows = self._cross_rows_for(
+                    jnp.asarray(np.stack(src))         # (W, S_mem, d)
                 )
                 self.cross = _scatter_cross_rows(self.cross, rows, idx_j)
         if runs:

@@ -152,8 +152,17 @@ def main():
              "--train_state_interval", "100"],
             cwd=root, check=True,
         )
-    ckpt = max(glob.glob(os.path.join(train_dir, "*.safetensors")),
-               key=os.path.getmtime)
+    # pick the BEST-val checkpoint (filename carries val_loss; the final
+    # epoch also saves unconditionally and can be worse — mtime lies)
+    def val_of(path):
+        stem = os.path.basename(path).rsplit(".safetensors", 1)[0]
+        try:
+            return float(stem.rsplit("val_loss_", 1)[1])
+        except (IndexError, ValueError):
+            return float("inf")
+
+    ckpt = min(glob.glob(os.path.join(train_dir, "*.safetensors")),
+               key=val_of)
 
     # evaluate.py resolves the tokenizer from data_dir (Config.VOCAB_PATH);
     # the held-out dir must read the TRAINING tokenizer, not raise/retrain

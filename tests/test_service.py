@@ -455,20 +455,88 @@ def test_caption_stream_matches_batch(captioner):
     assert got == expect
 
 
-# --------------------------------------------------------- memory-mode gate
+# --------------------------------------------------- full-sequence memory
 
-def test_service_rejects_full_memory_mode(captioner):
-    """Full-sequence memory (reference encoder.py:107's documented
-    alternative) is a batch-API capability; the service's cross state is
-    CLS-only, so construction must refuse clearly instead of failing with
-    an einsum shape error mid-decode (VERDICT r3, missing #3)."""
-    full_cap = Captioner(
+@pytest.fixture(scope="module")
+def full_captioner(captioner):
+    """The same params served in full-sequence memory mode (reference
+    encoder.py:107's documented alternative to CLS features)."""
+    return Captioner(
         captioner.params,
         captioner.mcfg._replace(memory_mode="full"),
         captioner.tokenizer, captioner.cfg,
     )
-    with pytest.raises(ValueError, match="MEMORY_MODE"):
-        CaptionService(full_cap, num_slots=2)
+
+
+def _full_memories(captioner, n, seed=0):
+    s = captioner.mcfg.vision.seq_len
+    d = captioner.mcfg.decoder.embed_dim
+    return np.random.default_rng(seed).normal(
+        size=(n, s, d)
+    ).astype(np.float32)
+
+
+def test_service_full_memory_matches_batch_greedy(full_captioner):
+    """Full-memory service captions == batch greedy full-memory captions
+    (VERDICT r3 missing #3's strong variant: the service carries per-slot
+    cross K/V instead of refusing non-CLS memory)."""
+    tok = full_captioner.tokenizer
+    mems = _full_memories(full_captioner, 7, seed=11)
+    ref_tokens, ref_lengths = greedy_generate(
+        full_captioner.params["decoder"], full_captioner.mcfg.decoder,
+        jnp.asarray(mems), tok.start_id, tok.end_id, tok.pad_id, MAXLEN,
+    )
+    ref_tokens = np.asarray(ref_tokens)
+    ref_lengths = np.asarray(ref_lengths)
+
+    svc = CaptionService(full_captioner, num_slots=3)
+    assert svc.full_mem and "k" in svc.cross and "const" not in svc.cross
+    rids = [svc.submit_memory(mems[i]) for i in range(7)]
+    results = svc.run_to_completion()
+    for i, rid in enumerate(rids):
+        assert results[rid] == ref_tokens[i, : ref_lengths[i]].tolist(), i
+
+
+def test_service_full_memory_zero_copy_and_bucketed(full_captioner):
+    """Device-resident chunk admission + KV bucketing (overflow re-decode)
+    both work under full memory; captions stay batch-identical."""
+    tok = full_captioner.tokenizer
+    mems = _full_memories(full_captioner, 6, seed=12)
+    ref_tokens, ref_lengths = greedy_generate(
+        full_captioner.params["decoder"], full_captioner.mcfg.decoder,
+        jnp.asarray(mems), tok.start_id, tok.end_id, tok.pad_id, MAXLEN,
+    )
+    ref_tokens = np.asarray(ref_tokens)
+    ref_lengths = np.asarray(ref_lengths)
+
+    svc = CaptionService(full_captioner, num_slots=2, cache_len=6)
+    rids = svc.submit_memory_batch(jnp.asarray(mems))
+    results = svc.run_to_completion()
+    assert not svc._chunks, "device chunks must GC once rows finish"
+    for i, rid in enumerate(rids):
+        assert results[rid] == ref_tokens[i, : ref_lengths[i]].tolist(), i
+
+
+def test_service_full_memory_beam_matches_batch(full_captioner):
+    """Beam service under full memory == batch beam_generate."""
+    from mit_tpu.decode.beam import beam_generate
+
+    tok = full_captioner.tokenizer
+    mems = _full_memories(full_captioner, 5, seed=13)
+    ref_tokens, _ = beam_generate(
+        full_captioner.params["decoder"], full_captioner.mcfg.decoder,
+        jnp.asarray(mems), tok.start_id, tok.end_id, tok.pad_id, MAXLEN, 3,
+    )
+    ref_tokens = np.asarray(ref_tokens)
+
+    svc = CaptionService(full_captioner, num_slots=2, method="beam",
+                         beam_size=3)
+    rids = [svc.submit_memory(mems[i]) for i in range(5)]
+    results = svc.run_to_completion()
+    pad = tok.pad_id
+    for i, rid in enumerate(rids):
+        n = int((ref_tokens[i] != pad).sum())
+        assert results[rid] == ref_tokens[i, :n].tolist(), i
 
 
 # ------------------------------------------------- zero-copy admission
