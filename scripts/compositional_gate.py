@@ -100,7 +100,10 @@ def write_split(dirpath, combos, per_combo, rng):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("workdir", nargs="?", default="/tmp/comp_gate")
-    ap.add_argument("--epochs", type=int, default=18)
+    ap.add_argument("--epochs", type=int, default=40,
+                    help="best-val checkpoint is evaluated, so overshooting "
+                    "is safe; 18 epochs measured train-BLEU 0.46 (below the "
+                    "learned floor), 40 epochs 0.51 (best val at ~ep. 19)")
     ap.add_argument("--tolerance", type=float, default=0.05,
                     help="max |BLEU4(int8) - BLEU4(bf16)| on held-out")
     ap.add_argument("--skip_train", action="store_true",
