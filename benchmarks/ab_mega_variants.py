@@ -578,6 +578,7 @@ SPECS = {
     "dual2": ("dual", 2, jnp.float32),
     "dual4": ("dual", 4, jnp.float32),
     "stag2": ("stag", 2, jnp.float32),
+    "stag4": ("stag", 4, jnp.float32),
     "stagh2": ("stagh2", 2, jnp.float32),
     "stagh4": ("stagh4", 2, jnp.float32),
     "stagattn2": ("stagattn", 2, jnp.float32),

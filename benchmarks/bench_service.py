@@ -150,7 +150,11 @@ def main():
                                 jnp.asarray(images_u8[i:i + chunk])))
         for i in range(0, reqs, chunk)
     ])
-    for i in range(min(8, reqs)):
+    # warm up with a FULL slot cohort: admission scatters compile per wave
+    # size (powers of two up to R) — an 8-request warmup leaves the timed
+    # run paying the wave-`slots` scatter compile (measured: it dominated a
+    # 2.75 s "744 capt/s" reading whose true decode was ~4x faster)
+    for i in range(min(slots, reqs)):
         svc.submit_memory(mem[i])
     svc.run_to_completion()
     t0 = time.perf_counter()
@@ -189,7 +193,7 @@ def main():
         method="beam", beam_size=3,
         steps_per_sync=window, cache_len=cache_len,
     )
-    for i in range(min(8, breqs)):
+    for i in range(min(slots, breqs)):
         svc_beam.submit_memory(mem[i])
     svc_beam.run_to_completion()
     t0 = time.perf_counter()
@@ -198,11 +202,15 @@ def main():
     svc_beam.run_to_completion()
     beam_cps = round(breqs / (time.perf_counter() - t0), 1)
 
-    # warm up both programs
-    warm = np.asarray(encode_chunk(enc_params, proj, jnp.asarray(images_u8[:chunk])))
-    for row in warm[:8]:
-        svc2.submit_memory(row)
-    svc2.run_to_completion()
+    # warm up both programs through the REAL e2e path (run_stream admits
+    # device chunks -> the dev-chunk gather scatter and its wave shapes,
+    # disjoint from the host-row scatter the decoder-only warmup compiled)
+    n_warm_chunks = max(2, (slots + chunk - 1) // chunk)
+    svc2.run_stream(
+        ((encode_chunk(enc_params, proj, jnp.asarray(images_u8[i:i + chunk])),
+          chunk) for i in range(0, n_warm_chunks * chunk, chunk)),
+        lookahead=2,
+    )
 
     # Saturated queue: all requests present up-front. Encoding is batched
     # (admission chunks); decode then runs ONE continuous-batching drain —
