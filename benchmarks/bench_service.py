@@ -101,7 +101,10 @@ def main():
         feats = encode_images(p, mcfg, px, jnp.bfloat16)
         return feats.astype(jnp.float32) @ proj["w"] + proj["b"]
 
-    chunk = 256
+    # encode-chunk size: admission granularity AND the encoder's effective
+    # batch — bigger chunks buy encoder efficiency (the int8 mega-kernel
+    # amortizes better at larger B) at the cost of coarser admission
+    chunk = int(os.environ.get("MIT_BENCH_CHUNK", 256))
     # retrain the decoder quickly on the real encoder's features
     enc_feats = np.concatenate([
         np.asarray(encode_chunk(enc_params, {"w": np.eye(d_enc, dtype=np.float32),
@@ -249,6 +252,8 @@ def main():
             "int8" if os.environ.get("MIT_BENCH_INT8", "1") == "1" else "bf16"
         ),
         "cache_len": cache_len or mcfg.decoder.max_seq_len,
+        "encode_chunk": chunk,
+        "window": window,
         "overflowed": svc.overflowed + svc2.overflowed,
         "match_batch_greedy": bool(svc_match),
     }))
