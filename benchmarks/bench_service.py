@@ -143,6 +143,44 @@ def main():
             "b": np.asarray(trained2["projection"]["b"], np.float32)}
 
     # ------------------------------------------------------------------
+    # MIT_BENCH_E2E_SWEEP="slots:chunk,slots:chunk,..." — measure ONLY the
+    # e2e drain for each (slots, encode-chunk) pair, sharing one decoder
+    # prep (the prep's 200 tunneled train steps dominate a full run, so
+    # sweeping via whole-process reruns wastes ~5 min per point and makes
+    # the points non-comparable across tunnel drift).
+    # ------------------------------------------------------------------
+    sweep = os.environ.get("MIT_BENCH_E2E_SWEEP", "")
+    if sweep:
+        for pair in sweep.split(","):
+            s_i, c_i = (int(v) for v in pair.split(":"))
+            svc_i = CaptionService(
+                cap2, num_slots=s_i, compute_dtype=jnp.bfloat16,
+                steps_per_sync=window, cache_len=cache_len,
+            )
+            n_warm = max(2, (s_i + c_i - 1) // c_i)
+            svc_i.run_stream(
+                ((encode_chunk(enc_params, proj,
+                               jnp.asarray(images_u8[i:i + c_i])), c_i)
+                 for i in range(0, n_warm * c_i, c_i)),
+                lookahead=2,
+            )
+            cdevs = [jax.device_put(jnp.asarray(images_u8[i:i + c_i]))
+                     for i in range(0, reqs, c_i)]
+            jax.block_until_ready(cdevs)
+            t0 = time.perf_counter()
+            svc_i.run_stream(
+                ((encode_chunk(enc_params, proj, cd), c_i) for cd in cdevs),
+                lookahead=int(os.environ.get("MIT_BENCH_LOOKAHEAD", 2)),
+            )
+            dt_i = time.perf_counter() - t0
+            print(json.dumps({
+                "sweep_slots": s_i, "sweep_chunk": c_i,
+                "e2e_images_to_captions_per_sec": round(reqs / dt_i, 1),
+                "requests": reqs, "cache_len": cache_len, "window": window,
+            }), flush=True)
+        return
+
+    # ------------------------------------------------------------------
     # Decoder-only service throughput: memories precomputed, saturated
     # queue (the round-1..2 comparison metric).
     # ------------------------------------------------------------------
