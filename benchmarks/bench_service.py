@@ -105,12 +105,25 @@ def main():
     # batch — bigger chunks buy encoder efficiency (the int8 mega-kernel
     # amortizes better at larger B) at the cost of coarser admission
     chunk = int(os.environ.get("MIT_BENCH_CHUNK", 256))
+
+    def padded_chunks(arr, c):
+        """Yield (chunk_of_exactly_c_rows, real_rows) — ragged tails are
+        padded by repeating the last row so encode_chunk keeps ONE compiled
+        shape, and the true row count rides alongside (service + throughput
+        math must count real rows, never the padded shape)."""
+        for i in range(0, len(arr), c):
+            sl = arr[i:i + c]
+            real = len(sl)
+            if real < c:
+                sl = np.concatenate([sl, np.repeat(sl[-1:], c - real, 0)])
+            yield sl, real
+
     # retrain the decoder quickly on the real encoder's features
     enc_feats = np.concatenate([
         np.asarray(encode_chunk(enc_params, {"w": np.eye(d_enc, dtype=np.float32),
                                              "b": np.zeros(d_enc, np.float32)},
-                                jnp.asarray(images_u8[i:i + chunk])))
-        for i in range(0, min(reqs, 2048), chunk)
+                                jnp.asarray(sl)))[:real]
+        for sl, real in padded_chunks(images_u8[: min(reqs, 2048)], chunk)
     ])
     state2 = init_train_state(trainable, optimizer)
     caps2 = np.zeros((len(enc_feats), 13), np.int32)
@@ -158,18 +171,23 @@ def main():
                 steps_per_sync=window, cache_len=cache_len,
             )
             n_warm = max(2, (s_i + c_i - 1) // c_i)
+            # warmup indices wrap modulo reqs so c_i >= reqs / s_i > reqs
+            # never slices past the data (the slice is always full-shape)
             svc_i.run_stream(
                 ((encode_chunk(enc_params, proj,
-                               jnp.asarray(images_u8[i:i + c_i])), c_i)
+                               jnp.asarray(np.take(
+                                   images_u8,
+                                   range(i, i + c_i), 0, mode="wrap"))), c_i)
                  for i in range(0, n_warm * c_i, c_i)),
                 lookahead=2,
             )
-            cdevs = [jax.device_put(jnp.asarray(images_u8[i:i + c_i]))
-                     for i in range(0, reqs, c_i)]
-            jax.block_until_ready(cdevs)
+            cdevs = [(jax.device_put(jnp.asarray(sl)), real)
+                     for sl, real in padded_chunks(images_u8, c_i)]
+            jax.block_until_ready([cd for cd, _ in cdevs])
             t0 = time.perf_counter()
             svc_i.run_stream(
-                ((encode_chunk(enc_params, proj, cd), c_i) for cd in cdevs),
+                ((encode_chunk(enc_params, proj, cd), real)
+                 for cd, real in cdevs),
                 lookahead=int(os.environ.get("MIT_BENCH_LOOKAHEAD", 2)),
             )
             dt_i = time.perf_counter() - t0
@@ -181,15 +199,155 @@ def main():
         return
 
     # ------------------------------------------------------------------
+    # MIT_BENCH_AB=1 — the round-5 same-run A/B ladder (VERDICT r4 ask #1):
+    # every lever the round-4 serving work built, measured in ONE process
+    # so tunnel drift can't contaminate the comparison:
+    #   - unbucketed T=100 caches at 512 slots (the round-3 2,153 config)
+    #   - bucketed cache_len=16 at slots in {256, 512, 1024}
+    #   - zero-copy streamed admission vs serialized encode vs host-row path
+    # Each config drains the same `reqs` images end-to-end (uint8 -> device
+    # preprocess -> int8 encoder -> continuous-batch decode), 3 reps,
+    # median reported. Writes benchmarks/bench_service_r05.json.
+    # ------------------------------------------------------------------
+    if os.environ.get("MIT_BENCH_AB", "") == "1":
+        import statistics
+
+        def probe_rtt():
+            f = jax.jit(lambda x: x + 1)
+            f(jnp.zeros((1,), jnp.float32)).block_until_ready()
+            ts = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                f(jnp.zeros((1,), jnp.float32)).block_until_ready()
+                ts.append(time.perf_counter() - t0)
+            return 1e3 * float(np.median(ts))
+
+        staged = {}  # chunk size -> [(device_chunk, real)]
+
+        def staged_chunks(c):
+            if c not in staged:
+                staged[c] = [(jax.device_put(jnp.asarray(sl)), real)
+                             for sl, real in padded_chunks(images_u8, c)]
+                jax.block_until_ready([cd for cd, _ in staged[c]])
+            return staged[c]
+
+        def run_config(slots_i, cache_i, mode, c_i=chunk, reps=3):
+            svc_i = CaptionService(
+                cap2, num_slots=slots_i, compute_dtype=jnp.bfloat16,
+                steps_per_sync=window, cache_len=cache_i,
+            )
+            cdevs = staged_chunks(c_i)
+            n_warm = max(2, (slots_i + c_i - 1) // c_i)
+            # warm every program the timed path touches (admission scatter
+            # wave shapes, decode windows, drain ladder)
+            svc_i.run_stream(
+                ((encode_chunk(enc_params, proj,
+                               jnp.asarray(np.take(images_u8,
+                                                   range(i, i + c_i), 0,
+                                                   mode="wrap"))), c_i)
+                 for i in range(0, n_warm * c_i, c_i)),
+                lookahead=2,
+            )
+            if mode == "host":  # also compiles the host-row scatter
+                row0 = np.asarray(
+                    encode_chunk(enc_params, proj, cdevs[0][0]))[0]
+                svc_i.submit_memory(row0)
+                svc_i.run_to_completion()
+
+            def one_pass():
+                if mode == "stream":
+                    svc_i.run_stream(
+                        ((encode_chunk(enc_params, proj, cd), real)
+                         for cd, real in cdevs),
+                        lookahead=2,
+                    )
+                elif mode == "serial":
+                    # encode ALL chunks first (materialized before decode
+                    # starts) — zero-copy admission but no encode/decode
+                    # overlap: prices run_stream's lazy interleaving
+                    outs = [(encode_chunk(enc_params, proj, cd), real)
+                            for cd, real in cdevs]
+                    jax.block_until_ready([o for o, _ in outs])
+                    for o, real in outs:
+                        svc_i.submit_memory_batch(o, real)
+                    svc_i.run_to_completion()
+                else:  # host: per-row numpy admission (the pre-round-4 path)
+                    outs = [(np.asarray(encode_chunk(enc_params, proj, cd)),
+                             real) for cd, real in cdevs]
+                    for o, real in outs:
+                        for r in range(real):
+                            svc_i.submit_memory(o[r])
+                    svc_i.run_to_completion()
+
+            # one untimed SHAKEOUT of the exact timed body: the generic
+            # warmup can't reach every program the real drain touches
+            # (occupancy-dependent drain-ladder shapes, ragged-tail
+            # admission waves) — without this the first rep pays compiles
+            # and pulls 5-7x low (observed in the round-5 smoke)
+            one_pass()
+            times = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                one_pass()
+                times.append(time.perf_counter() - t0)
+            med = statistics.median(times)
+            row = {
+                "config": f"slots={slots_i} cache_len={cache_i or 'T'} "
+                          f"admission={mode} chunk={c_i}",
+                "slots": slots_i, "cache_len": cache_i, "admission": mode,
+                "encode_chunk": c_i,
+                "e2e_images_to_captions_per_sec": round(reqs / med, 1),
+                "reps_capt_per_sec": [round(reqs / t, 1) for t in times],
+                "spread_pct": round(
+                    100 * (max(times) - min(times)) / med, 1),
+                "overflowed": svc_i.overflowed,
+            }
+            print(json.dumps(row), flush=True)
+            return row
+
+        rtt0 = probe_rtt()
+        ladder = [
+            run_config(512, None, "stream"),     # round-3 baseline config
+            run_config(256, 16, "stream"),
+            run_config(512, 16, "stream"),
+            run_config(1024, 16, "stream"),
+            run_config(512, 16, "serial"),       # streamed-vs-serialized
+            run_config(512, 16, "host"),         # zero-copy-vs-host rows
+        ]
+        # encode-chunk sweep at the best streamed config so the admission
+        # granularity lever is priced in the same run
+        best = max(ladder[:4],
+                   key=lambda r: r["e2e_images_to_captions_per_sec"])
+        for c_i in (128, 512):
+            ladder.append(run_config(best["slots"], best["cache_len"],
+                                     "stream", c_i=c_i))
+        rtt1 = probe_rtt()
+        out = {
+            "bench": "service_e2e_ab_ladder_r05",
+            "requests": reqs, "window": window,
+            "encoder": "int8" if os.environ.get(
+                "MIT_BENCH_INT8", "1") == "1" else "bf16",
+            "tunnel_rtt_ms_before": round(rtt0, 2),
+            "tunnel_rtt_ms_after": round(rtt1, 2),
+            "rows": ladder,
+        }
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench_service_r05.json")
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+        print(json.dumps({"wrote": path,
+                          "best_e2e": best["e2e_images_to_captions_per_sec"]}))
+        return
+
+    # ------------------------------------------------------------------
     # Decoder-only service throughput: memories precomputed, saturated
     # queue (the round-1..2 comparison metric).
     # ------------------------------------------------------------------
     svc = CaptionService(cap2, num_slots=slots, compute_dtype=jnp.bfloat16,
                          steps_per_sync=window, cache_len=cache_len)
     mem = np.concatenate([
-        np.asarray(encode_chunk(enc_params, proj,
-                                jnp.asarray(images_u8[i:i + chunk])))
-        for i in range(0, reqs, chunk)
+        np.asarray(encode_chunk(enc_params, proj, jnp.asarray(sl)))[:real]
+        for sl, real in padded_chunks(images_u8, chunk)
     ])
     # warm up with a FULL slot cohort: admission scatters compile per wave
     # size (powers of two up to R) — an 8-request warmup leaves the timed
@@ -248,8 +406,10 @@ def main():
     # disjoint from the host-row scatter the decoder-only warmup compiled)
     n_warm_chunks = max(2, (slots + chunk - 1) // chunk)
     svc2.run_stream(
-        ((encode_chunk(enc_params, proj, jnp.asarray(images_u8[i:i + chunk])),
-          chunk) for i in range(0, n_warm_chunks * chunk, chunk)),
+        ((encode_chunk(enc_params, proj,
+                       jnp.asarray(np.take(images_u8, range(i, i + chunk), 0,
+                                           mode="wrap"))), chunk)
+         for i in range(0, n_warm_chunks * chunk, chunk)),
         lookahead=2,
     )
 
@@ -260,17 +420,18 @@ def main():
     # staged on device outside the timer (same methodology as bench.py —
     # the tunnel's host→device bandwidth is not the hardware under test).
     chunks_dev = [
-        jax.device_put(jnp.asarray(images_u8[i:i + chunk]))
-        for i in range(0, reqs, chunk)
+        (jax.device_put(jnp.asarray(sl)), real)
+        for sl, real in padded_chunks(images_u8, chunk)
     ]
-    jax.block_until_ready(chunks_dev)
+    jax.block_until_ready([cd for cd, _ in chunks_dev])
     t0 = time.perf_counter()
     # encoder chunks dispatch LAZILY from inside the decode loop
     # (run_stream): each chunk dispatched right after a decode window
     # executes during that window's host round trip, so encode time hides
     # inside RTT gaps instead of serializing ahead of the first window
     svc2.run_stream(
-        ((encode_chunk(enc_params, proj, cdev), chunk) for cdev in chunks_dev),
+        ((encode_chunk(enc_params, proj, cd), real)
+         for cd, real in chunks_dev),
         lookahead=int(os.environ.get("MIT_BENCH_LOOKAHEAD", 2)),
     )
     dt2 = time.perf_counter() - t0
