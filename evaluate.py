@@ -23,9 +23,12 @@ def main(argv=None) -> int:
     parser.add_argument("--split", type=str, default="val",
                         choices=["val", "train", "all"])
     parser.add_argument("--encoder_quant", type=str, default="none",
-                        choices=["none", "int8"],
+                        choices=["none", "int8", "int8_defect"],
                         help="int8 = W8A8-quantize the frozen encoder at "
-                        "load (quantified-quality evaluation).")
+                        "load (quantified-quality evaluation). int8_defect "
+                        "= int8 with a deliberate 2x fc2-scale corruption — "
+                        "the quality gate's negative-control canary; never "
+                        "a serving configuration.")
     args = parser.parse_args(argv)
 
     from mit_tpu.config import CONFIG

@@ -40,11 +40,12 @@ class Captioner:
         compute_dtype=jnp.float32,
         encoder_quant: str = "none",
     ):
-        if encoder_quant not in ("none", "int8"):
+        if encoder_quant not in ("none", "int8", "int8_defect"):
             raise ValueError(
-                f"encoder_quant must be 'none' or 'int8', got {encoder_quant!r}"
+                "encoder_quant must be 'none', 'int8' or 'int8_defect', "
+                f"got {encoder_quant!r}"
             )
-        if encoder_quant == "int8" and "patch" not in params["encoder"]:
+        if encoder_quant.startswith("int8") and "patch" not in params["encoder"]:
             # W8A8 PTQ of the frozen encoder: 2x MXU peak on v5e, ~1% feature
             # error; decoder numerics are untouched.
             from mit_tpu.models.vision import quantize_vision_params
@@ -53,6 +54,18 @@ class Captioner:
             params["encoder"] = quantize_vision_params(
                 params["encoder"], mcfg.vision
             )
+            if encoder_quant == "int8_defect":
+                # NEGATIVE CONTROL (quality-gate canary): a deliberate 2x
+                # error on every layer's fc2 weight scale — the class of
+                # bug the compositional gate exists to catch. Any path
+                # serving this MUST fail the gate; never ship it.
+                enc = dict(params["encoder"])
+                lay = dict(enc["layers"])
+                lay["fc2"] = lay["fc2"]._replace(
+                    scale=lay["fc2"].scale * 2.0
+                )
+                enc["layers"] = lay
+                params["encoder"] = enc
         self.params = params
         self.mcfg = mcfg
         self.tokenizer = tokenizer

@@ -100,14 +100,23 @@ def write_split(dirpath, combos, per_combo, rng):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("workdir", nargs="?", default="/tmp/comp_gate")
-    ap.add_argument("--epochs", type=int, default=40,
+    ap.add_argument("--epochs", type=int, default=60,
                     help="best-val checkpoint is evaluated, so overshooting "
-                    "is safe; 18 epochs measured train-BLEU 0.46 (below the "
-                    "learned floor), 40 epochs 0.51 (best val at ~ep. 19)")
+                    "is safe; at per_combo=4: 18 epochs measured train-BLEU "
+                    "0.46, 40 epochs 0.51 — a 0.006 margin over the 0.5 "
+                    "learned floor (VERDICT r4 weak #3). The round-5 "
+                    "defaults (per_combo=8, 60 epochs) are sized so the "
+                    "floor clears by >=0.1 (measured 0.62).")
+    ap.add_argument("--per_combo", type=int, default=8,
+                    help="training images per seen combination (held-out "
+                    "stays at 3/combo)")
     ap.add_argument("--tolerance", type=float, default=0.05,
                     help="max |BLEU4(int8) - BLEU4(bf16)| on held-out")
     ap.add_argument("--skip_train", action="store_true",
                     help="reuse the newest checkpoint already in workdir")
+    ap.add_argument("--no_negative_control", action="store_true",
+                    help="skip the canary eval (int8 with a deliberate 2x "
+                    "fc2-scale corruption) that must TRIP the gate")
     args = ap.parse_args()
 
     train_dir = os.path.join(args.workdir, "train", "")
@@ -127,7 +136,8 @@ def main():
     if not args.skip_train or not glob.glob(
         os.path.join(train_dir, "*.safetensors")
     ):
-        n_tr = write_split(train_dir, seen, 4, np.random.default_rng(1))
+        n_tr = write_split(train_dir, seen, args.per_combo,
+                           np.random.default_rng(1))
         n_ho = write_split(held_dir, held, 3, np.random.default_rng(2))
         print(f"dataset: {n_tr} train images ({len(seen)} combos), "
               f"{n_ho} held-out ({len(held)} combos)", file=sys.stderr)
@@ -196,14 +206,29 @@ def main():
         "tolerance": args.tolerance,
         "non_saturating": r_bf16["bleu4"] < 0.995,
         "learned": r_train["bleu4"] > 0.5,
-        "ok": bool(
-            gap <= args.tolerance
-            and r_bf16["bleu4"] < 0.995      # the gate CAN fail
-            and r_train["bleu4"] > 0.5       # ...and the model did learn
-        ),
+        "learned_floor_margin": round(r_train["bleu4"] - 0.5, 4),
         "epochs": args.epochs,
+        "per_combo": args.per_combo,
         "checkpoint": os.path.basename(ckpt),
     }
+
+    # NEGATIVE CONTROL (VERDICT r4 weak #3b): a gate that has never been
+    # seen to fail is untested machinery. Re-run the quantized eval with a
+    # deliberate defect (2x fc2 weight-scale corruption, decode/api.py
+    # 'int8_defect') and require that THIS gate's own criterion rejects it.
+    if not args.no_negative_control:
+        r_canary = ev(held_dir, "int8_defect", "all")
+        canary_gap = abs(r_canary["bleu4"] - r_bf16["bleu4"])
+        out["canary_bleu4_int8_defect"] = r_canary["bleu4"]
+        out["canary_gap"] = round(canary_gap, 4)
+        out["canary_trips"] = bool(canary_gap > args.tolerance)
+
+    out["ok"] = bool(
+        gap <= args.tolerance
+        and r_bf16["bleu4"] < 0.995          # the gate CAN fail
+        and r_train["bleu4"] > 0.5           # ...and the model did learn
+        and out.get("canary_trips", True)    # ...and the gate itself works
+    )
     line = json.dumps(out)
     print(line)
     art = os.path.join(root, "benchmarks", "compositional_gate.json")

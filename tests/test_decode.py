@@ -240,6 +240,49 @@ def test_postprocess_without_end_token(tmp_path):
     assert cap.postprocess(ids) == "hello world"
 
 
+def test_captioner_int8_defect_canary(tmp_path):
+    """encoder_quant='int8_defect' (the quality gate's negative control)
+    must corrupt the encoder output vs plain int8 — and only fc2 scales."""
+    from mit_tpu.decode.api import Captioner
+    from mit_tpu.models.model import ModelConfig, init_model_params
+    from mit_tpu.models.vision import VisionConfig
+    from mit_tpu.text.tokenizer import train_tokenizer
+
+    cfg = Config(DATA_DIR=str(tmp_path) + "/", MAX_SEQ_LEN=MAXLEN)
+    tok = train_tokenizer(iter(["tiny corpus here"]), 300, cfg.VOCAB_PATH,
+                          cfg.MERGES_PATH, cfg)
+    vis = VisionConfig(family="vit", image_size=32, patch_size=16,
+                       hidden_size=40, num_layers=1, num_heads=2,
+                       intermediate_size=64, hidden_act="gelu",
+                       layer_norm_eps=1e-12, patch_bias=True,
+                       ln_pre=False, ln_post=True)
+    dec = DecoderConfig(vocab_size=tok.get_vocab_size(), embed_dim=D,
+                        num_heads=H, num_layers=L, ff_dim=F,
+                        max_seq_len=MAXLEN, dropout=0.0, pad_idx=tok.pad_id)
+    mcfg = ModelConfig("t", vis, dec, "cls")
+    params = init_model_params(jax.random.PRNGKey(0), mcfg)
+    cap_q = Captioner(params, mcfg, tok, cfg, encoder_quant="int8")
+    cap_d = Captioner(params, mcfg, tok, cfg, encoder_quant="int8_defect")
+
+    q8, d8 = cap_q.params["encoder"], cap_d.params["encoder"]
+    np.testing.assert_array_equal(np.asarray(q8["layers"]["fc2"].scale) * 2,
+                                  np.asarray(d8["layers"]["fc2"].scale))
+    np.testing.assert_array_equal(np.asarray(q8["layers"]["fc1"].scale),
+                                  np.asarray(d8["layers"]["fc1"].scale))
+
+    px = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 3, 32, 32)), jnp.float32
+    )
+    m_q = np.asarray(cap_q.memory_from_pixels(px))
+    m_d = np.asarray(cap_d.memory_from_pixels(px))
+    # the 2x fc2-scale corruption must visibly move the features
+    rel = np.abs(m_d - m_q).max() / (np.abs(m_q).max() + 1e-9)
+    assert rel > 0.05, f"defect moved features by only {rel:.2%}"
+
+    with pytest.raises(ValueError, match="encoder_quant"):
+        Captioner(params, mcfg, tok, cfg, encoder_quant="int4")
+
+
 def test_max_len_exceeding_table_raises(params, memory):
     with pytest.raises(ValueError, match="max_len"):
         greedy_generate(params, CFG, memory, START, END, PAD, MAXLEN + 5)
