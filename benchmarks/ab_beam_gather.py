@@ -1,18 +1,22 @@
-"""A/B the beam service's conditional cache-gather skip (VERDICT r3 #6).
+"""Same-run A/B of the beam service's conditional cache-gather skip.
 
 Each beam micro-step reorders every slot's K cache rows by parent beam —
 L x (R, Tc, D) x 2 gathers that roughly triple per-step cache traffic.
 Once beams settle or finish, ``src_beam`` is the identity (top_k is
 stable; finished beams extend with PAD at zero incremental score), so
-the production window wraps the gather in ``lax.cond``. This measures
-the same service loop with the cond (MIT_BEAM_GATHER_SKIP=1, default)
-vs the unconditional gather (=0), random weights, max_len == cache_len
-so every caption runs the full bucket (worst case for the skip: no END
-exits, reorders keep happening while scores stay random — real trained
-beams settle earlier, so the production win is at least this one).
+the production window wraps the gather in ``lax.cond``
+(``service_beam_window(gather_skip=True)``, the default).
 
-Run twice (the toggle is trace-time): MIT_BEAM_GATHER_SKIP=0 python ...
-prints the base line; default prints the skip line. One JSON line each.
+Round-5 form (VERDICT r4 weak #4): ``gather_skip`` is a jit-STATIC
+constructor knob, so BOTH variants trace in ONE process and the reps
+interleave skip/base — tunnel drift hits both arms equally. Random
+weights with max_len == cache_len is the worst case for the skip (no END
+exits, scores stay random so reorders keep firing); trained beams settle
+earlier, so the production win is at least the measured one. A
+token-identity check (skip vs base captions) gates the numbers.
+
+Prints one JSON line; also writes benchmarks/ab_beam_gather_r05.json
+when run from the repo root.
 """
 import sys, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -50,25 +54,48 @@ def main():
     mem = rng.standard_normal((reqs, 1, mcfg.decoder.embed_dim)).astype(
         np.float32)
 
-    def run():
+    def run(skip, collect=False):
         svc = CaptionService(cap, num_slots=slots, max_len=16,
                              compute_dtype=jnp.bfloat16, method="beam",
-                             beam_size=3, steps_per_sync=12)
-        for i in range(reqs):
-            svc.submit_memory(mem[i])
+                             beam_size=3, steps_per_sync=12,
+                             beam_gather_skip=skip)
+        rids = [svc.submit_memory(mem[i]) for i in range(reqs)]
         t0 = time.perf_counter()
-        svc.run_to_completion()
-        return reqs / (time.perf_counter() - t0)
+        got = svc.run_to_completion()
+        dt = time.perf_counter() - t0
+        return reqs / dt, ([got[r] for r in rids] if collect else None)
 
-    run()                      # compile
-    vals = [run() for _ in range(reps)]
-    print(json.dumps({
+    # compile both variants, and gate on token identity before timing
+    _, caps_skip = run(True, collect=True)
+    _, caps_base = run(False, collect=True)
+    identical = caps_skip == caps_base
+    if not identical:
+        bad = sum(a != b for a, b in zip(caps_skip, caps_base))
+        print(f"WARNING: {bad}/{reqs} captions differ between skip/base "
+              "— numbers below are NOT comparable", file=sys.stderr)
+
+    vals = {True: [], False: []}
+    for _ in range(reps):                      # interleaved arms
+        for skip in (True, False):
+            vals[skip].append(run(skip)[0])
+    med = {k: float(np.median(v)) for k, v in vals.items()}
+    out = {
         "metric": "service_beam3_caps_per_sec",
-        "gather_skip": os.environ.get("MIT_BEAM_GATHER_SKIP", "1"),
-        "value": round(float(np.median(vals)), 1),
-        "reps": [round(v, 1) for v in vals],
-        "slots": slots, "requests": reqs, "beam": 3,
-    }))
+        "skip_caps_per_sec": round(med[True], 1),
+        "base_caps_per_sec": round(med[False], 1),
+        "speedup": round(med[True] / med[False], 3),
+        "reps_skip": [round(v, 1) for v in vals[True]],
+        "reps_base": [round(v, 1) for v in vals[False]],
+        "token_identical": identical,
+        "slots": slots, "requests": reqs, "beam": 3, "max_len": 16,
+        "note": "random weights, full-length captions — worst case for "
+                "the skip; trained beams settle earlier",
+    }
+    print(json.dumps(out))
+    art = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "ab_beam_gather_r05.json")
+    with open(art, "w") as f:
+        json.dump(out, f, indent=1)
 
 
 if __name__ == "__main__":

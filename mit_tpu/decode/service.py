@@ -283,7 +283,8 @@ def service_decode_window(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "beam_size", "compute_dtype", "n_steps"),
+    static_argnames=("cfg", "beam_size", "compute_dtype", "n_steps",
+                     "gather_skip"),
     donate_argnames=("k_cache", "v_cache"),
 )
 def service_beam_window(
@@ -303,6 +304,7 @@ def service_beam_window(
     beam_size: int = 3,
     compute_dtype=jnp.float32,
     n_steps: int = 1,
+    gather_skip: bool = True,
 ):
     """``n_steps`` beam-search tokens for every slot.
 
@@ -358,10 +360,11 @@ def service_beam_window(
         # zero incremental score, so settled orderings stay put). The
         # gather roughly triples per-step cache traffic (attention read +
         # reorder read + write); lax.cond makes it pay-per-use. Measured
-        # on-chip A/B: see BENCHMARKS.md (service beam). Env
-        # MIT_BEAM_GATHER_SKIP=0 opts out (A/B harness; trace-time, like
-        # MIT_FUSED_DECODE).
-        if os.environ.get("MIT_BEAM_GATHER_SKIP", "1") == "1":
+        # on-chip A/B: see BENCHMARKS.md (service beam). ``gather_skip``
+        # is a STATIC arg (defaulted from MIT_BEAM_GATHER_SKIP at the
+        # CaptionService boundary) so the A/B harness can trace both
+        # variants in one process.
+        if gather_skip:
             k_cache, v_cache, key_pad = jax.lax.cond(
                 jnp.any(gather != jnp.arange(r)),
                 lambda kc, vc, kp: (
@@ -487,6 +490,7 @@ class CaptionService:
         top_p: float = 1.0,
         rng: Optional[jax.Array] = None,
         cache_len: Optional[int] = None,
+        beam_gather_skip: Optional[bool] = None,
     ):
         """``steps_per_sync``: tokens decoded per host round trip (device
         windows, token-identical to 1; admission granularity coarsens —
@@ -554,6 +558,13 @@ class CaptionService:
         self.temperature = float(temperature)
         self.top_k = int(top_k)
         self.top_p = float(top_p)
+        # pay-per-use beam cache reorder (see service_beam_window); None
+        # defers to MIT_BEAM_GATHER_SKIP (default on) — an explicit bool
+        # lets one process A/B both traces (the arg is jit-static)
+        self._beam_gather_skip = (
+            os.environ.get("MIT_BEAM_GATHER_SKIP", "1") == "1"
+            if beam_gather_skip is None else bool(beam_gather_skip)
+        )
         self._base_rng = rng if rng is not None else jax.random.PRNGKey(0)
         self._wave = 0
         from mit_tpu.decode.step import prepare_decode_params
@@ -987,6 +998,7 @@ class CaptionService:
             jnp.asarray(self.scores), jnp.asarray(self.finished),
             jnp.int32(end_id), jnp.int32(pad_id),
             self.K, self.cd, self.steps_per_sync,
+            gather_skip=self._beam_gather_skip,
         )
         ids = np.asarray(ids)                           # (S, K, n_steps)
         srcs = np.asarray(srcs)

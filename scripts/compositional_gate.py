@@ -21,8 +21,16 @@ standard pre-headline quality check:
 The gate re-runs the int8-vs-bf16 comparison on the held-out split and
 asserts the two scores agree within ``--tolerance`` (default 0.05 BLEU).
 
+Round-5 hardening (VERDICT r4 weak #3): the learned floor (train-val
+BLEU > 0.5) gets real margin from per_combo=8 + 60 epochs, and a
+default-on NEGATIVE CONTROL re-evaluates with ``encoder_quant=
+int8_defect`` (a deliberate 2x fc2-scale corruption) — the gate passes
+only if its own criterion REJECTS the defect, so a silently broken gate
+fails loudly instead of rubber-stamping. Runs from scripts/ci.sh.
+
 Usage: python scripts/compositional_gate.py [workdir] [--epochs N]
-       [--tolerance T] [--skip_train]
+       [--per_combo N] [--tolerance T] [--skip_train]
+       [--no_negative_control]
 Emits one JSON line (also written to benchmarks/compositional_gate.json
 when run from the repo root).
 """

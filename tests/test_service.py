@@ -222,6 +222,24 @@ def test_service_beam_multi_step_window(captioner, window):
         assert expect[a] == got[b]
 
 
+def test_service_beam_gather_skip_token_identical(captioner):
+    """The pay-per-use cache reorder (gather_skip, the production default)
+    must be a pure optimization: captions identical to the unconditional
+    gather, with both variants traceable in one process (jit-static knob)."""
+    mems = _memories(captioner, 8, seed=23)
+    base = CaptionService(captioner, num_slots=3, method="beam", beam_size=3,
+                          beam_gather_skip=False)
+    rids_b = [base.submit_memory(mems[i]) for i in range(8)]
+    expect = base.run_to_completion()
+
+    svc = CaptionService(captioner, num_slots=3, method="beam", beam_size=3,
+                         beam_gather_skip=True)
+    rids = [svc.submit_memory(mems[i]) for i in range(8)]
+    got = svc.run_to_completion()
+    for a, b in zip(rids_b, rids):
+        assert expect[a] == got[b]
+
+
 def test_service_beam_size_one_reduces_to_greedy(captioner):
     mems = _memories(captioner, 5, seed=19)
     greedy = CaptionService(captioner, num_slots=2)
