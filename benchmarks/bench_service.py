@@ -209,7 +209,11 @@ def main():
     # preprocess -> int8 encoder -> continuous-batch decode), 3 reps,
     # median reported. Writes benchmarks/bench_service_r05.json.
     # ------------------------------------------------------------------
-    if os.environ.get("MIT_BENCH_AB", "") == "1":
+    # MIT_BENCH_AB=2 — refinement round around round 1's winner (1024
+    # slots, cache 16, chunk 512 streamed, 3,418 capt/s): more slots,
+    # deeper lookahead, serialized-encode at the winning geometry, chunk
+    # 1024, cache 24. Writes bench_service_r05b.json.
+    if os.environ.get("MIT_BENCH_AB", "") in ("1", "2"):
         import statistics
 
         def probe_rtt():
@@ -231,7 +235,8 @@ def main():
                 jax.block_until_ready([cd for cd, _ in staged[c]])
             return staged[c]
 
-        def run_config(slots_i, cache_i, mode, c_i=chunk, reps=3):
+        def run_config(slots_i, cache_i, mode, c_i=chunk, reps=3,
+                       lookahead=2):
             svc_i = CaptionService(
                 cap2, num_slots=slots_i, compute_dtype=jnp.bfloat16,
                 steps_per_sync=window, cache_len=cache_i,
@@ -259,7 +264,7 @@ def main():
                     svc_i.run_stream(
                         ((encode_chunk(enc_params, proj, cd), real)
                          for cd, real in cdevs),
-                        lookahead=2,
+                        lookahead=lookahead,
                     )
                 elif mode == "serial":
                     # encode ALL chunks first (materialized before decode
@@ -295,7 +300,7 @@ def main():
                 "config": f"slots={slots_i} cache_len={cache_i or 'T'} "
                           f"admission={mode} chunk={c_i}",
                 "slots": slots_i, "cache_len": cache_i, "admission": mode,
-                "encode_chunk": c_i,
+                "encode_chunk": c_i, "lookahead": lookahead,
                 "e2e_images_to_captions_per_sec": round(reqs / med, 1),
                 "reps_capt_per_sec": [round(reqs / t, 1) for t in times],
                 "spread_pct": round(
@@ -306,24 +311,37 @@ def main():
             return row
 
         rtt0 = probe_rtt()
-        ladder = [
-            run_config(512, None, "stream"),     # round-3 baseline config
-            run_config(256, 16, "stream"),
-            run_config(512, 16, "stream"),
-            run_config(1024, 16, "stream"),
-            run_config(512, 16, "serial"),       # streamed-vs-serialized
-            run_config(512, 16, "host"),         # zero-copy-vs-host rows
-        ]
-        # encode-chunk sweep at the best streamed config so the admission
-        # granularity lever is priced in the same run
-        best = max(ladder[:4],
-                   key=lambda r: r["e2e_images_to_captions_per_sec"])
-        for c_i in (128, 512):
-            ladder.append(run_config(best["slots"], best["cache_len"],
-                                     "stream", c_i=c_i))
+        if os.environ.get("MIT_BENCH_AB") == "1":
+            ladder = [
+                run_config(512, None, "stream"),   # round-3 baseline config
+                run_config(256, 16, "stream"),
+                run_config(512, 16, "stream"),
+                run_config(1024, 16, "stream"),
+                run_config(512, 16, "serial"),     # streamed-vs-serialized
+                run_config(512, 16, "host"),       # zero-copy-vs-host rows
+            ]
+            # encode-chunk sweep at the best streamed config so the
+            # admission granularity lever is priced in the same run
+            best = max(ladder[:4],
+                       key=lambda r: r["e2e_images_to_captions_per_sec"])
+            for c_i in (128, 512):
+                ladder.append(run_config(best["slots"], best["cache_len"],
+                                         "stream", c_i=c_i))
+        else:                                      # "2": refinement round
+            ladder = [
+                run_config(1024, 16, "stream", c_i=512),   # r1 winner
+                run_config(1024, 16, "serial", c_i=512),
+                run_config(2048, 16, "stream", c_i=512),
+                run_config(1024, 16, "stream", c_i=1024),
+                run_config(1024, 24, "stream", c_i=512),
+                run_config(1024, 16, "stream", c_i=512, lookahead=4),
+            ]
+            best = max(ladder,
+                       key=lambda r: r["e2e_images_to_captions_per_sec"])
         rtt1 = probe_rtt()
         out = {
-            "bench": "service_e2e_ab_ladder_r05",
+            "bench": "service_e2e_ab_ladder_r05"
+                     + ("" if os.environ.get("MIT_BENCH_AB") == "1" else "b"),
             "requests": reqs, "window": window,
             "encoder": "int8" if os.environ.get(
                 "MIT_BENCH_INT8", "1") == "1" else "bf16",
@@ -331,8 +349,11 @@ def main():
             "tunnel_rtt_ms_after": round(rtt1, 2),
             "rows": ladder,
         }
-        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "bench_service_r05.json")
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "bench_service_r05.json"
+            if os.environ.get("MIT_BENCH_AB") == "1"
+            else "bench_service_r05b.json")
         with open(path, "w") as f:
             json.dump(out, f, indent=1)
         print(json.dumps({"wrote": path,
