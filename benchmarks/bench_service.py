@@ -213,7 +213,10 @@ def main():
     # slots, cache 16, chunk 512 streamed, 3,418 capt/s): more slots,
     # deeper lookahead, serialized-encode at the winning geometry, chunk
     # 1024, cache 24. Writes bench_service_r05b.json.
-    if os.environ.get("MIT_BENCH_AB", "") in ("1", "2"):
+    # MIT_BENCH_AB=3 — ceiling breakdown of the winner: encoder-alone
+    # time, window-dispatch count x measured RTT, residual decode device
+    # time. Writes bench_service_breakdown_r05.json.
+    if os.environ.get("MIT_BENCH_AB", "") in ("1", "2", "3"):
         import statistics
 
         def probe_rtt():
@@ -309,6 +312,87 @@ def main():
             }
             print(json.dumps(row), flush=True)
             return row
+
+        if os.environ.get("MIT_BENCH_AB") == "3":
+            # ---- ceiling breakdown of the r05 winner (VERDICT r4 ask #1:
+            # "a same-run breakdown proving where the ceiling is — per-
+            # window RTT count x measured RTT is acceptable evidence").
+            c_i, slots_i, cache_i = 512, 1024, 16
+            cdevs = staged_chunks(c_i)
+            rtt_ms = probe_rtt()
+
+            # encoder alone: the 4 int8 chunks a drain encodes, dependent
+            # fetch barrier, 3 reps
+            def enc_pass():
+                t0 = time.perf_counter()
+                outs = [encode_chunk(enc_params, proj, cd)
+                        for cd, _ in cdevs]
+                jax.block_until_ready(outs)
+                return time.perf_counter() - t0
+
+            enc_pass()
+            t_enc = statistics.median([enc_pass() for _ in range(3)])
+
+            svc_b = CaptionService(
+                cap2, num_slots=slots_i, compute_dtype=jnp.bfloat16,
+                steps_per_sync=window, cache_len=cache_i,
+            )
+            calls = [0]
+            orig_step = svc_b.step
+
+            def counting_step():
+                calls[0] += 1
+                orig_step()
+
+            svc_b.step = counting_step
+
+            def drain():
+                svc_b.run_stream(
+                    ((encode_chunk(enc_params, proj, cd), real)
+                     for cd, real in cdevs),
+                    lookahead=2,
+                )
+
+            drain()                                    # shakeout
+            t_reps, w_reps = [], []
+            for _ in range(3):
+                calls[0] = 0
+                t0 = time.perf_counter()
+                drain()
+                t_reps.append(time.perf_counter() - t0)
+                w_reps.append(calls[0])
+            t_e2e = statistics.median(t_reps)
+            n_w = int(statistics.median(w_reps))
+            rtt_floor = n_w * rtt_ms / 1e3
+            out = {
+                "bench": "service_e2e_breakdown_r05",
+                "config": f"slots={slots_i} cache_len={cache_i} "
+                          f"stream chunk={c_i} window={window}",
+                "requests": reqs,
+                "e2e_sec": round(t_e2e, 4),
+                "e2e_caps_per_sec": round(reqs / t_e2e, 1),
+                "encoder_alone_sec": round(t_enc, 4),
+                "window_dispatches": n_w,
+                "tunnel_rtt_ms": round(rtt_ms, 2),
+                "rtt_floor_sec": round(rtt_floor, 4),
+                "residual_decode_sec": round(t_e2e - t_enc - rtt_floor, 4),
+                "share_pct": {
+                    "encoder": round(100 * t_enc / t_e2e, 1),
+                    "window_rtt": round(100 * rtt_floor / t_e2e, 1),
+                    "decode_residual": round(
+                        100 * (t_e2e - t_enc - rtt_floor) / t_e2e, 1),
+                },
+                "note": "encoder overlaps window RTTs in the streamed "
+                        "drain, so encoder+rtt shares can exceed 100% of "
+                        "a perfectly-overlapped wall clock; the residual "
+                        "is what neither component explains",
+            }
+            print(json.dumps(out))
+            path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "bench_service_breakdown_r05.json")
+            with open(path, "w") as f:
+                json.dump(out, f, indent=1)
+            return
 
         rtt0 = probe_rtt()
         if os.environ.get("MIT_BENCH_AB") == "1":
