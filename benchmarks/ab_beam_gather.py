@@ -11,9 +11,16 @@ Round-5 form (VERDICT r4 weak #4): ``gather_skip`` is a jit-STATIC
 constructor knob, so BOTH variants trace in ONE process and the reps
 interleave skip/base — tunnel drift hits both arms equally. Random
 weights with max_len == cache_len is the worst case for the skip (no END
-exits, scores stay random so reorders keep firing); trained beams settle
-earlier, so the production win is at least the measured one. A
-token-identity check (skip vs base captions) gates the numbers.
+exits, scores stay random so reorders keep firing). A token-identity
+check (skip vs base captions) gates the numbers.
+
+OUTCOME (round 5): the skip LOST in every regime measured — 0.977 here
+(worst case, ab_beam_gather_r05.json) and ~0.90 with a TRAINED decoder
+whose beams genuinely settle at 12 tokens, bucketed or not
+(MIT_BENCH_BEAM_AB=1 in bench_service.py, bench_beam_ladder_r05.json):
+the lax.cond is a fusion barrier inside the scanned window and its
+any() predicate is a per-microstep reduction. The service default is
+now gather_skip=False; this harness documents why.
 
 Prints one JSON line; also writes benchmarks/ab_beam_gather_r05.json
 when run from the repo root.

@@ -17,9 +17,10 @@ Env: MIT_BENCH_SLOTS (default 512), MIT_BENCH_REQS (default 2048).
 Slot sweep (round 3, int8 encoder, window 12, UNBUCKETED T=100 caches):
 e2e 1,403 / 2,153 / 1,846 capt/s at 256 / 512 / 1024 slots — more slots
 amortize per-window host syncs until the per-step (R, T, D) cache reads
-dominate. The round-4 bucketed caches (cache_len=16) shrink those reads
-6x, and zero-copy admission removes the per-chunk host round trips, so
-re-sweep before trusting 512 as the optimum.
+dominate. The round-5 re-sweep under bucketed caches (MIT_BENCH_AB=1/2,
+benchmarks/bench_service_r05*.json) moved the optimum: 1024 slots /
+cache_len=16 / chunk 512 / zero-copy streamed admission reads 3,418
+capt/s same-run vs 2,096 for the round-3 configuration.
 
 CROSS-DAY CAVEAT: the decoder-side and e2e numbers ride the tunnel RTT
 (~26-90 ms observed) — same-run A/Bs only. An instrumented profile of
@@ -37,6 +38,8 @@ import numpy as np
 
 def main():
     import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from mit_tpu.config import Config
@@ -154,6 +157,80 @@ def main():
                           steps_per_sync=window, cache_len=cache_len)
     proj = {"w": np.asarray(trained2["projection"]["w"], np.float32),
             "b": np.asarray(trained2["projection"]["b"], np.float32)}
+
+    # ------------------------------------------------------------------
+    # MIT_BENCH_BEAM_AB=1 — round-5 beam-serving ladder (VERDICT r4 ask
+    # #4): beam-3 with the TRAINED decoder (real 12-token END exits, so
+    # beams genuinely finish and settle — the gather-skip's target
+    # regime), same-run across {unbucketed T=100 (the round-3 "206"
+    # configuration), bucketed cache_len=16} x {gather_skip on, off},
+    # interleaved reps, token-identity gated across all four arms (beam
+    # decode is deterministic; bucketing and the skip are throughput
+    # mechanisms, never semantic ones).
+    # ------------------------------------------------------------------
+    if os.environ.get("MIT_BENCH_BEAM_AB", "") == "1":
+        breqs = int(os.environ.get("MIT_BENCH_BEAM_REQS", 1024))
+        reps = int(os.environ.get("MIT_BENCH_BEAM_REPS", 3))
+        mem = np.concatenate([
+            np.asarray(encode_chunk(enc_params, proj, jnp.asarray(sl)))[:real]
+            for sl, real in padded_chunks(images_u8[:breqs], chunk)
+        ])
+        arms = {
+            "unbucketed_base": dict(cache_len=None, beam_gather_skip=False),
+            "unbucketed_skip": dict(cache_len=None, beam_gather_skip=True),
+            "bucket16_base": dict(cache_len=16, beam_gather_skip=False),
+            "bucket16_skip": dict(cache_len=16, beam_gather_skip=True),
+        }
+
+        def run_beam(kw, collect=False):
+            svc = CaptionService(cap2, num_slots=slots,
+                                 compute_dtype=jnp.bfloat16, method="beam",
+                                 beam_size=3, steps_per_sync=window, **kw)
+            for i in range(min(slots, breqs)):   # warm the full slot wave
+                svc.submit_memory(mem[i])
+            svc.run_to_completion()
+            t0 = time.perf_counter()
+            rids = [svc.submit_memory(mem[i]) for i in range(breqs)]
+            got = svc.run_to_completion()
+            dt = time.perf_counter() - t0
+            return breqs / dt, ([got[r] for r in rids] if collect else None)
+
+        caps_ref, identical = None, True
+        for name, kw in arms.items():            # compile + identity gate
+            _, caps = run_beam(kw, collect=True)
+            if caps_ref is None:
+                caps_ref = caps
+            elif caps != caps_ref:
+                identical = False
+                print(f"WARNING: arm {name} tokens differ", file=sys.stderr)
+        vals = {k: [] for k in arms}
+        for _ in range(reps):                    # interleaved arms
+            for name, kw in arms.items():
+                vals[name].append(run_beam(kw)[0])
+        med = {k: float(np.median(v)) for k, v in vals.items()}
+        out = {
+            "bench": "service_beam3_ladder_r05",
+            "slots": slots, "requests": breqs, "beam": 3,
+            "window": window, "max_len": mcfg.decoder.max_seq_len,
+            "trained_caption_len": 12,
+            "token_identical_across_arms": identical,
+            "caps_per_sec": {k: round(v, 1) for k, v in med.items()},
+            "reps": {k: [round(x, 1) for x in v] for k, v in vals.items()},
+            "bucketing_speedup": round(
+                max(med["bucket16_base"], med["bucket16_skip"])
+                / max(med["unbucketed_base"], med["unbucketed_skip"]), 3),
+            "skip_effect_bucketed": round(
+                med["bucket16_skip"] / med["bucket16_base"], 3),
+            "skip_effect_unbucketed": round(
+                med["unbucketed_skip"] / med["unbucketed_base"], 3),
+            "encoder": ("int8" if os.environ.get("MIT_BENCH_INT8", "1")
+                        == "1" else "bf16"),
+        }
+        print(json.dumps(out))
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_beam_ladder_r05.json"), "w") as f:
+            json.dump(out, f, indent=1)
+        return
 
     # ------------------------------------------------------------------
     # MIT_BENCH_E2E_SWEEP="slots:chunk,slots:chunk,..." — measure ONLY the

@@ -354,16 +354,17 @@ def service_beam_window(
         # freeze inactive slots: identity gather, unchanged state
         gather = jnp.where(active[:, None], slot_offset + src_beam,
                            ident).reshape(-1)               # (R,)
-        # Skip the L x (R, T, D) x 2 cache reorder when every active slot's
-        # src_beam is the identity — the common case once beams settle or
-        # finish (top_k is stable, and finished beams extend with PAD at
-        # zero incremental score, so settled orderings stay put). The
-        # gather roughly triples per-step cache traffic (attention read +
-        # reorder read + write); lax.cond makes it pay-per-use. Measured
-        # on-chip A/B: see BENCHMARKS.md (service beam). ``gather_skip``
-        # is a STATIC arg (defaulted from MIT_BEAM_GATHER_SKIP at the
-        # CaptionService boundary) so the A/B harness can trace both
-        # variants in one process.
+        # Optionally skip the L x (R, T, D) x 2 cache reorder when every
+        # active slot's src_beam is the identity (beams settled/finished:
+        # top_k stable, finished beams extend with PAD at zero incremental
+        # score). The gather roughly triples per-step cache traffic, so
+        # the skip looked like a win on paper — but the round-5 on-chip
+        # ladder measured the lax.cond a ~10% NET LOSS in both bucketed
+        # and unbucketed regimes (benchmarks/bench_beam_ladder_r05.json):
+        # the branch is a fusion barrier inside the scanned window and the
+        # any() predicate is a per-microstep reduction. Default OFF;
+        # ``gather_skip`` is a STATIC arg (MIT_BEAM_GATHER_SKIP=1 opts in)
+        # so the A/B harness can trace both variants in one process.
         if gather_skip:
             k_cache, v_cache, key_pad = jax.lax.cond(
                 jnp.any(gather != jnp.arange(r)),
@@ -559,10 +560,16 @@ class CaptionService:
         self.top_k = int(top_k)
         self.top_p = float(top_p)
         # pay-per-use beam cache reorder (see service_beam_window); None
-        # defers to MIT_BEAM_GATHER_SKIP (default on) — an explicit bool
-        # lets one process A/B both traces (the arg is jit-static)
+        # defers to MIT_BEAM_GATHER_SKIP (default OFF — the round-5
+        # on-chip ladder measured the lax.cond wrapper a ~10% NET LOSS in
+        # both bucketed and unbucketed regimes even with trained beams
+        # that settle/finish at 12 tokens, benchmarks/
+        # bench_beam_ladder_r05.json; the branch blocks fusion inside the
+        # scanned window and its any() predicate is itself a per-microstep
+        # reduction). An explicit bool lets one process A/B both traces
+        # (the arg is jit-static).
         self._beam_gather_skip = (
-            os.environ.get("MIT_BEAM_GATHER_SKIP", "1") == "1"
+            os.environ.get("MIT_BEAM_GATHER_SKIP", "0") == "1"
             if beam_gather_skip is None else bool(beam_gather_skip)
         )
         self._base_rng = rng if rng is not None else jax.random.PRNGKey(0)
