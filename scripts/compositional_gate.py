@@ -140,6 +140,11 @@ def main():
                     "fc2-scale corruption) that must TRIP the gate")
     args = ap.parse_args()
 
+    # inherited by the train.py / evaluate.py subprocesses: repeat runs
+    # (and the negative-control re-eval) skip the remote compile, which
+    # on a congested tunnel has been observed to queue for >20 min
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+
     train_dir = os.path.join(args.workdir, "train", "")
     held_dir = os.path.join(args.workdir, "heldout", "")
 
